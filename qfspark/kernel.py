@@ -1,0 +1,640 @@
+"""numpy counting-quotient-filter kernel.
+
+Semantics re-derived from the reference quotient filter (go-qfext):
+
+* a 64-bit hash splits into a q-bit quotient (implicit: the bucket index)
+  and an r-bit remainder, ``r = 64 - q`` (reference: qf.go:508-513,159-177);
+* each slot stores 3 metadata bits — ``is_occupied`` (bit 0),
+  ``is_continuation`` (bit 1), ``is_shifted`` (bit 2) — plus the remainder
+  shifted left by 3 (reference slot layout: qf.go:179-234);
+* collision runs live in neighboring slots, remainder-sorted within a run
+  (reference: qf.go:353-363), clusters never span an empty slot;
+* an optional per-slot unsigned counter of configurable width (the
+  reference's "external storage", config.go:16-18) makes it a *counting*
+  quotient filter.
+
+The reference builds this layout with a sequential ripple-shift insert
+(qf.go:319-405) — inherently unvectorizable. We exploit the fact that the
+canonical layout is a pure function of the *multiset of hashes*: sorting
+the hashes sorts (quotient, remainder) pairs, and run-start positions
+follow the prefix recurrence
+
+    start_i = max(q_i, start_{i-1} + runlen_{i-1})
+            = C_i + running_max(q_j - C_j)          (C = exclusive cumsum)
+
+computed in O(n) with ``np.maximum.accumulate`` over a doubled sequence to
+resolve circular wraparound. This gives a fully vectorized bulk build,
+probe, decode, and an associative lossless merge. The scalar incremental
+insert is kept as a slow path for API parity and as a differential oracle
+in tests (bulk build and incremental insert must produce byte-identical
+filters).
+
+Deviation from the reference (documented): the reference's insert has an
+edge case where a *new* run's insertion point is compared against the
+stale slot at the home bucket (qf.go:365-372 with ``sd`` read from ``dq``),
+which can mistake a colliding remainder from a different run for a
+duplicate (probability ~2^-r per insert). We implement the correct check
+(duplicate detection only within the key's own run).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .hashing import hash_bytes
+from .sizing import MAX_LOADING_FACTOR, MIN_Q_BITS, QFConfig, q_bits_for
+from .vector import PackedVector, UnpackedVector, make_vector
+
+U64 = np.uint64
+
+_OCC = 1  # is_occupied
+_CONT = 2  # is_continuation
+_SHIFT = 4  # is_shifted
+_META = 7
+
+
+class QF:
+    """A counting quotient filter over 64-bit hashes.
+
+    Stores the full 64-bit hash (q bits implicit + r stored), so the
+    false-positive rate equals the 64-bit hash collision probability for
+    the default geometry, and <= 2^-r in general.
+    """
+
+    def __init__(self, config: QFConfig | None = None):
+        self.config = config or QFConfig()
+        self._init_geometry(self.config.derived_q_bits())
+        self._alloc()
+        self.entries = 0
+        self._index = None  # cached (sorted hashes, counts) for fast probe
+
+    # ------------------------------------------------------------------
+    # geometry / allocation
+    # ------------------------------------------------------------------
+    def _init_geometry(self, q_bits: int) -> None:
+        if not (MIN_Q_BITS <= q_bits <= 62):
+            raise ValueError(f"q_bits must be in [{MIN_Q_BITS}, 62], got {q_bits}")
+        self.q_bits = q_bits
+        self.r_bits = 64 - q_bits
+        self.r_mask = U64((1 << self.r_bits) - 1)
+        self.size = 1 << q_bits
+        self.max_entries = int(np.ceil(self.size * MAX_LOADING_FACTOR))
+
+    def _alloc(self) -> None:
+        slot_bits = 3 + self.r_bits
+        self.filter = make_vector(slot_bits, self.size, self.config.bit_packed)
+        self.storage = (
+            make_vector(self.config.counter_bits, self.size, self.config.bit_packed)
+            if self.config.counter_bits > 0
+            else None
+        )
+
+    @property
+    def counter_bits(self) -> int:
+        return self.config.counter_bits
+
+    @property
+    def counter_mask(self) -> int:
+        b = self.config.counter_bits
+        return (1 << b) - 1 if b else 0
+
+    def __len__(self) -> int:
+        return self.entries
+
+    # ------------------------------------------------------------------
+    # bulk build (the primary, vectorized path)
+    # ------------------------------------------------------------------
+    @classmethod
+    def from_hashes(
+        cls,
+        hashes: np.ndarray,
+        counts: np.ndarray | None = None,
+        config: QFConfig | None = None,
+    ) -> "QF":
+        """Build the canonical filter from a (possibly duplicated) array of
+        64-bit hashes in one vectorized pass.
+
+        Duplicate hashes are aggregated: with ``counter_bits`` configured,
+        their counts (default 1 each, or the given ``counts``) are summed
+        and stored saturating at the counter width.
+        """
+        config = config or QFConfig()
+        hashes = np.asarray(hashes, dtype=U64)
+        if counts is not None:
+            counts = np.asarray(counts, dtype=U64)
+            if counts.shape != hashes.shape:
+                raise ValueError("counts must align with hashes")
+        hv, inverse = np.unique(hashes, return_inverse=True)
+        if config.counter_bits > 0:
+            if counts is None:
+                agg = np.bincount(inverse, minlength=len(hv)).astype(U64)
+            else:
+                agg = np.zeros(len(hv), dtype=U64)
+                np.add.at(agg, inverse, counts)
+        else:
+            agg = None
+
+        n = len(hv)
+        need_q = max(config.derived_q_bits(), q_bits_for(n))
+        cfg = QFConfig(
+            counter_bits=config.counter_bits,
+            bit_packed=config.bit_packed,
+            expected_entries=max(config.expected_entries, n),
+            hash_name=config.hash_name,
+            q_bits=need_q,
+        )
+        qf = cls(cfg)
+        qf._bulk_fill(hv, agg)
+        return qf
+
+    def _bulk_fill(self, hv: np.ndarray, counts: np.ndarray | None) -> None:
+        """Fill an empty filter from *sorted unique* hashes (+counts)."""
+        n = len(hv)
+        if n == 0:
+            return
+        if n >= self.size:
+            raise ValueError(f"{n} entries cannot fit a 2^{self.q_bits}-slot filter")
+        r_bits = U64(self.r_bits)
+        q = (hv >> r_bits).astype(np.int64)
+        r = (hv & self.r_mask).astype(U64)
+
+        uq, run_len = np.unique(q, return_counts=True)
+        m = len(uq)
+        size = self.size
+
+        # run-start recurrence over the doubled sequence (circular layout)
+        qd = np.concatenate([uq, uq + size])
+        cd = np.concatenate([run_len, run_len])
+        Cd = np.concatenate(([0], np.cumsum(cd)[:-1]))
+        sd = Cd + np.maximum.accumulate(qd - Cd)
+        starts = sd[m:] - size  # correct circular run-start positions
+
+        # per-element slot positions
+        run_first = np.concatenate(([0], np.cumsum(run_len)[:-1]))
+        offs = np.arange(n, dtype=np.int64) - np.repeat(run_first, run_len)
+        pos = (np.repeat(starts, run_len) + offs) % size
+        quot = np.repeat(uq, run_len)
+
+        cont = offs > 0
+        shifted = pos != quot
+        slot_vals = (
+            (r << U64(3))
+            | (cont.astype(U64) << U64(1))
+            | (shifted.astype(U64) << U64(2))
+        )
+        self.filter.scatter_or(pos, slot_vals)
+        # occupied bit lives at the *home* slot of each occupied quotient,
+        # which may or may not coincide with an element position -> OR in.
+        self.filter.scatter_or(uq, np.full(m, _OCC, dtype=U64))
+        if self.storage is not None and counts is not None:
+            cmask = U64(self.counter_mask)
+            self.storage.scatter_or(pos, np.minimum(counts, cmask))
+        self.entries = n
+        self._index = None
+
+    @classmethod
+    def from_keys(
+        cls, keys, counts=None, config: QFConfig | None = None
+    ) -> "QF":
+        """Hash keys (str/bytes) with the configured hash and bulk-build."""
+        config = config or QFConfig()
+        return cls.from_hashes(hash_bytes(keys, config.hash_name), counts, config)
+
+    # ------------------------------------------------------------------
+    # decode (lossless enumeration; reference eachHashValue qf.go:84-110)
+    # ------------------------------------------------------------------
+    def decode(self, sort: bool = True):
+        """Return ``(hashes, counts)`` for every stored entry.
+
+        Lossless: ``(quotient << r_bits) | remainder`` reconstructs the full
+        64-bit hash. Vectorized via rotation to a cluster boundary: runs in
+        scan order correspond 1:1 (FIFO) to occupied slots in scan order.
+        """
+        if self.entries == 0:
+            e = np.zeros(0, dtype=U64)
+            return (e, e.copy() if self.storage is not None else None)
+        all_ix = np.arange(self.size, dtype=np.int64)
+        sv = self.filter.gather(all_ix)
+        used = (sv & U64(_META)) != 0
+        empties = np.flatnonzero(~used)
+        if empties.size == 0:
+            raise RuntimeError("filter unexpectedly full; cannot decode")
+        start = int(empties[0]) + 1
+        order = np.concatenate([all_ix[start:], all_ix[:start]])
+        sv_r = sv[order]
+        used_r = used[order]
+        # occupied quotients in rotated scan order map FIFO to runs in
+        # rotated scan order (reference eachHashValue's queue, qf.go:94-109)
+        occ_mask_r = (sv_r & U64(_OCC)) != 0
+        occ_rot = order[occ_mask_r]
+        run_start_mask = used_r & ((sv_r & U64(_CONT)) == 0)
+        run_id = np.cumsum(run_start_mask) - 1
+        u_positions = np.flatnonzero(used_r)
+        quot = occ_rot[run_id[u_positions]].astype(U64)
+        rem = sv_r[u_positions] >> U64(3)
+        hv = (quot << U64(self.r_bits)) | rem
+        counts = None
+        if self.storage is not None:
+            counts = self.storage.gather(order[u_positions])
+        if sort:
+            perm = np.argsort(hv, kind="stable")
+            hv = hv[perm]
+            if counts is not None:
+                counts = counts[perm]
+        return hv, counts
+
+    def hashes(self) -> np.ndarray:
+        """Sorted array of all stored 64-bit hashes."""
+        return self.decode(sort=True)[0]
+
+    # ------------------------------------------------------------------
+    # probe
+    # ------------------------------------------------------------------
+    def build_index(self) -> None:
+        """Cache the decoded sorted-hash array for O(log n) searchsorted
+        probes (~8 bytes/entry extra RAM; the fast broadcast-lookup path)."""
+        hv, counts = self.decode(sort=True)
+        self._index = (hv, counts)
+
+    def lookup_hashes(self, hashes: np.ndarray, mode: str = "auto"):
+        """Batch probe. Returns ``(found bool[n], counts uint64[n])``.
+
+        mode='index': searchsorted against the decoded hash array (cached).
+        mode='walk':  true slot-walk probe, no auxiliary memory
+                      (reference algorithm lookupByHash/findStart,
+                      qf.go:422-500, vectorized across the batch).
+        """
+        hashes = np.asarray(hashes, dtype=U64)
+        if mode == "auto":
+            mode = "index" if (self._index is not None or self.entries == 0) else "walk"
+        if mode == "index":
+            if self._index is None:
+                self.build_index()
+            hv, counts = self._index
+            out_counts = np.zeros(len(hashes), dtype=U64)
+            if len(hv) == 0:
+                return np.zeros(len(hashes), dtype=bool), out_counts
+            ix = np.searchsorted(hv, hashes)
+            ix_c = np.minimum(ix, len(hv) - 1)
+            found = hv[ix_c] == hashes
+            if counts is not None:
+                out_counts[found] = counts[ix_c[found]]
+            return found, out_counts
+        if mode == "walk":
+            return self._probe_walk(hashes)
+        raise ValueError(f"unknown probe mode {mode!r}")
+
+    def _probe_walk(self, hashes: np.ndarray):
+        """Vectorized cluster-walk probe (no decode, no extra memory).
+
+        Each step advances *all* still-active probes one slot; iteration
+        count is bounded by the longest cluster (small at load <= 0.65).
+        """
+        n = len(hashes)
+        found = np.zeros(n, dtype=bool)
+        out_counts = np.zeros(n, dtype=U64)
+        if n == 0 or self.entries == 0:
+            return found, out_counts
+        size = self.size
+        dq = (hashes >> U64(self.r_bits)).astype(np.int64)
+        dr = (hashes & self.r_mask).astype(U64)
+
+        sd0 = self.filter.gather(dq)
+        active = (sd0 & U64(_OCC)) != 0  # unoccupied home bucket -> miss
+        idx = np.flatnonzero(active)
+        if idx.size == 0:
+            return found, out_counts
+
+        # --- find run start (reference findStart, qf.go:422-444) ---
+        # left scan: count complete runs & pending runs until unshifted slot
+        i = dq[idx].copy()
+        runs = np.ones(idx.size, dtype=np.int64)
+        complete = np.zeros(idx.size, dtype=np.int64)
+        scanning = np.ones(idx.size, dtype=bool)
+        while scanning.any():
+            srows = np.flatnonzero(scanning)
+            sd = self.filter.gather(i[srows])
+            not_cont = (sd & U64(_CONT)) == 0
+            complete[srows] += not_cont
+            unshifted = (sd & U64(_SHIFT)) == 0
+            occ = (sd & U64(_OCC)) != 0
+            runs[srows] += (~unshifted & occ)
+            cont_rows = srows[~unshifted]
+            i[cont_rows] = (i[cont_rows] - 1) % size
+            scanning[srows[unshifted]] = False
+        # right scan: advance from dq until our run's start
+        pos = dq[idx].copy()
+        scanning = runs > complete
+        while scanning.any():
+            srows = np.flatnonzero(scanning)
+            pos[srows] = (pos[srows] + 1) % size
+            sd = self.filter.gather(pos[srows])
+            complete[srows] += (sd & U64(_CONT)) == 0
+            scanning[srows] = runs[srows] > complete[srows]
+
+        # --- scan the remainder-sorted run (reference qf.go:482-498) ---
+        want = dr[idx]
+        slot = pos
+        res_found = np.zeros(idx.size, dtype=bool)
+        res_counts = np.zeros(idx.size, dtype=U64)
+        scanning = np.ones(idx.size, dtype=bool)
+        first = True
+        while scanning.any():
+            srows = np.flatnonzero(scanning)
+            sd = self.filter.gather(slot[srows])
+            if not first:
+                is_cont = (sd & U64(_CONT)) != 0
+                stop = ~is_cont
+                scanning[srows[stop]] = False
+                srows = srows[~stop]
+                if srows.size == 0:
+                    break
+                sd = sd[~stop]
+            first = False
+            r_here = sd >> U64(3)
+            hit = r_here == want[srows]
+            hrows = srows[hit]
+            res_found[hrows] = True
+            if self.storage is not None and hrows.size:
+                res_counts[hrows] = self.storage.gather(slot[hrows])
+            scanning[hrows] = False
+            over = srows[r_here > want[srows]]
+            scanning[over] = False
+            step = np.flatnonzero(scanning)
+            slot[step] = (slot[step] + 1) % size
+        found[idx] = res_found
+        out_counts[idx] = res_counts
+        return found, out_counts
+
+    # -- key-level convenience -----------------------------------------
+    def contains(self, key) -> bool:
+        f, _ = self.lookup_hashes(hash_bytes([key], self.config.hash_name))
+        return bool(f[0])
+
+    def lookup(self, key):
+        f, c = self.lookup_hashes(hash_bytes([key], self.config.hash_name))
+        return bool(f[0]), int(c[0])
+
+    def contains_keys(self, keys) -> np.ndarray:
+        f, _ = self.lookup_hashes(hash_bytes(keys, self.config.hash_name))
+        return f
+
+    def lookup_keys(self, keys):
+        return self.lookup_hashes(hash_bytes(keys, self.config.hash_name))
+
+    # ------------------------------------------------------------------
+    # incremental insert (slow path; differential oracle for bulk build)
+    # ------------------------------------------------------------------
+    def insert(self, key) -> bool:
+        return self.insert_with_value(key, 0)
+
+    def insert_with_value(self, key, value: int) -> bool:
+        """Insert one key; returns True if it was already present. On a
+        duplicate the stored value is *overwritten* (reference semantics,
+        qf.go:365-372); use ``add=True`` on insert_hash for counting."""
+        hv = int(hash_bytes([key], self.config.hash_name)[0])
+        return self.insert_hash(hv, value)
+
+    def insert_hash(self, hv: int, value: int = 0, add: bool = False) -> bool:
+        if self.entries >= self.max_entries:
+            self._double()
+        self._index = None
+        return self._insert_hash_nogrow(hv, value, add)
+
+    def _read(self, slot: int) -> int:
+        return self.filter.get(slot)
+
+    def _write(self, slot: int, val: int) -> None:
+        self.filter.set(slot, val)
+
+    def _insert_hash_nogrow(self, hv: int, value: int, add: bool) -> bool:
+        dq = hv >> self.r_bits
+        dr = hv & int(self.r_mask)
+        size = self.size
+        cmask = self.counter_mask
+        sd = self._read(dq)
+
+        # case 1: home slot empty -> claim it
+        if (sd & _META) == 0:
+            self._write(dq, _OCC | (dr << 3))
+            if self.storage is not None:
+                self.storage.set(dq, min(value, cmask))
+            self.entries += 1
+            return False
+
+        extending = bool(sd & _OCC)
+        if not extending:
+            self._write(dq, sd | _OCC)
+
+        run_start = dq
+        if sd & _SHIFT:
+            run_start = self._find_start(dq)
+
+        # find sorted position within the run
+        slot = run_start
+        cur = self._read(slot)
+        if extending:
+            while True:
+                if (cur & _META) == 0 or (cur >> 3) >= dr:
+                    break
+                slot = (slot + 1) % size
+                cur = self._read(slot)
+                if not (cur & _CONT):
+                    break
+            if (cur & _META) != 0 and (cur >> 3) == dr and (
+                slot == run_start or (cur & _CONT)
+            ):
+                # duplicate within our own run: overwrite (or add) count
+                if self.storage is not None:
+                    if add:
+                        old = self.storage.get(slot)
+                        self.storage.set(slot, min(old + value, cmask))
+                    else:
+                        self.storage.set(slot, min(value, cmask))
+                return True
+
+        # case 3: ripple-shift the new remainder into place
+        self.entries += 1
+        shifted_bit = slot != dq
+        cont_bit = slot != run_start
+        cur_r = dr
+        cur_v = min(value, cmask)
+        while True:
+            old = self._read(slot)
+            new = (
+                (old & _OCC)
+                | (_CONT if cont_bit else 0)
+                | (_SHIFT if shifted_bit else 0)
+                | (cur_r << 3)
+            )
+            self._write(slot, new)
+            if self.storage is not None:
+                cur_v = self.storage.swap(slot, cur_v)
+            if (old & _META) == 0:
+                break
+            if (slot == run_start and extending) or (old & _CONT):
+                cont_bit = True
+            else:
+                cont_bit = False
+            cur_r = old >> 3
+            slot = (slot + 1) % size
+            shifted_bit = True
+        return False
+
+    def _find_start(self, dq: int) -> int:
+        """Locate the start slot of the run for quotient ``dq``
+        (reference findStart, qf.go:422-444)."""
+        size = self.size
+        runs, complete = 1, 0
+        i = dq
+        while True:
+            sd = self._read(i)
+            if not (sd & _CONT):
+                complete += 1
+            if not (sd & _SHIFT):
+                break
+            if sd & _OCC:
+                runs += 1
+            i = (i - 1) % size
+        pos = dq
+        while runs > complete:
+            pos = (pos + 1) % size
+            if not (self._read(pos) & _CONT):
+                complete += 1
+        return pos
+
+    def _double(self) -> None:
+        """Grow to 2^(q+1) slots, losslessly rehashing every entry
+        (reference double, qf.go:283-301) — via decode + bulk rebuild."""
+        self.resize(self.q_bits + 1)
+
+    def resize(self, new_q_bits: int) -> None:
+        hv, counts = self.decode(sort=True)
+        self._init_geometry(new_q_bits)
+        self.config = QFConfig(
+            counter_bits=self.config.counter_bits,
+            bit_packed=self.config.bit_packed,
+            expected_entries=self.config.expected_entries,
+            hash_name=self.config.hash_name,
+            q_bits=new_q_bits,
+        )
+        self._alloc()
+        self.entries = 0
+        self._index = None
+        self._bulk_fill(hv, counts)
+
+    # ------------------------------------------------------------------
+    # merge (lossless, associative, commutative)
+    # ------------------------------------------------------------------
+    @classmethod
+    def merge(cls, a: "QF", b: "QF") -> "QF":
+        return cls.merge_many([a, b])
+
+    @classmethod
+    def merge_many(cls, filters) -> "QF":
+        """Merge any number of filters: multiset union of their hash
+        streams with counters added (saturating). Associative and
+        commutative because the canonical layout is a pure function of
+        the merged (hash -> count) map — any merge tree over any
+        partitioning yields byte-identical filters."""
+        filters = list(filters)
+        if not filters:
+            raise ValueError("merge_many needs at least one filter")
+        base = filters[0].config
+        for f in filters[1:]:
+            if f.config.hash_name != base.hash_name:
+                raise ValueError("cannot merge filters with different hashes")
+            if f.config.counter_bits != base.counter_bits:
+                raise ValueError("cannot merge filters with different counter widths")
+        parts = [f.decode(sort=False) for f in filters]
+        hv = np.concatenate([p[0] for p in parts])
+        if base.counter_bits > 0:
+            counts = np.concatenate(
+                [
+                    p[1] if p[1] is not None else np.ones(len(p[0]), dtype=U64)
+                    for p in parts
+                ]
+            )
+        else:
+            counts = None
+        uhv, inverse = np.unique(hv, return_inverse=True)
+        if counts is not None:
+            agg = np.zeros(len(uhv), dtype=U64)
+            np.add.at(agg, inverse, counts)
+        else:
+            agg = None
+        q = max(max(f.q_bits for f in filters), q_bits_for(len(uhv)))
+        cfg = QFConfig(
+            counter_bits=base.counter_bits,
+            bit_packed=base.bit_packed,
+            expected_entries=len(uhv),
+            hash_name=base.hash_name,
+            q_bits=q,
+        )
+        out = cls(cfg)
+        out._bulk_fill(uhv, agg)
+        return out
+
+    # ------------------------------------------------------------------
+    # diagnostics
+    # ------------------------------------------------------------------
+    def count_entries(self) -> int:
+        """Full-scan occupancy count (reference countEntries qf.go:248-255)."""
+        sv = self.filter.gather(np.arange(self.size, dtype=np.int64))
+        return int(np.count_nonzero((sv & U64(_META)) != 0))
+
+    def loading(self) -> float:
+        return self.entries / self.size
+
+    def debug_dump(self, full: bool = False) -> str:
+        """Textual slot dump (reference DebugDump qf.go:43-81)."""
+        lines = [
+            f"quotient filter is {self.size} large ({self.q_bits} q bits) "
+            f"with {self.entries} entries (loaded {self.loading():0.3f})"
+        ]
+        if full:
+            lines.append("  bucket  O C S remainder (count)")
+            sv = self.filter.gather(np.arange(self.size, dtype=np.int64))
+            for i in range(self.size):
+                v = int(sv[i])
+                if (v & _META) == 0:
+                    continue
+                cnt = self.storage.get(i) if self.storage is not None else 0
+                lines.append(
+                    f"{i:8d}  {v & 1} {(v >> 1) & 1} {(v >> 2) & 1} "
+                    f"{v >> 3:x} ({cnt})"
+                )
+        return "\n".join(lines)
+
+    # serde lives in qfspark.serde; convenience passthroughs:
+    def to_bytes(self) -> bytes:
+        from .serde import qf_to_bytes
+
+        return qf_to_bytes(self)
+
+    @classmethod
+    def from_bytes(cls, payload: bytes) -> "QF":
+        from .serde import qf_from_bytes
+
+        return qf_from_bytes(payload)
+
+    def __eq__(self, other) -> bool:
+        if not isinstance(other, QF):
+            return NotImplemented
+        return (
+            self.q_bits == other.q_bits
+            and self.entries == other.entries
+            and self.config.counter_bits == other.config.counter_bits
+            and self.config.bit_packed == other.config.bit_packed
+            and self.config.hash_name == other.config.hash_name
+            and bool(np.array_equal(self.filter.words, other.filter.words))
+            and (
+                self.storage is None
+                and other.storage is None
+                or (
+                    self.storage is not None
+                    and other.storage is not None
+                    and bool(np.array_equal(self.storage.words, other.storage.words))
+                )
+            )
+        )
