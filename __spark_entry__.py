@@ -1,38 +1,178 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry runs the qfspark pipeline on Spark and has a
+DuckDB ``oracle_sql()`` twin producing the same rows. The CQF queries are
+oracle-checkable because the filter guarantees zero false negatives and
+exact counts (32-bit counters), and at sf<=0.1 scales the false-positive
+probability per probe is <= 2^-45 — the exact-SQL answer and the sketch
+answer coincide with overwhelming probability.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from qfspark import dedup, similarity, textops
+from qfspark.build import build_qf
+from qfspark.lookup import annotate
+from qfspark.shingle import duckdb_shingle_sql, shingle_expr
+from qfspark.sizing import QFConfig
+from qfspark.webpages import DUCKDB_WEB_PAGES_SQL, synthesize
+
+_CFG = dict(counter_bits=32, hash_name="xxhash64")
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: build a CQF over web_pages.url at sf0.001, probe with
+    members + absent urls, return membership/count columns."""
+    return _q_url_membership(spark, "/root/testdata/sf0.001")
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def _q_web_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wp = synthesize(spark, sf_dir)
+    return wp.select(
+        "url", "text", "lang", F.length("text").alias("text_len")
+    )
+
+
+def _q_url_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wp = synthesize(spark, sf_dir)
+    qf = build_qf(wp, "url", config=QFConfig(**_CFG))
+    probes = wp.select("url").union(
+        wp.select(F.concat(F.col("url"), F.lit("#absent")).alias("url"))
+    )
+    return annotate(probes, "url", qf, seen_col="seen", count_col="cnt")
+
+
+def _q_user_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("user_id").cast("string").alias("user")
+    )
+    qf = build_qf(ev, "user", config=QFConfig(**_CFG))
+    users = ev.distinct()
+    probes = users.union(
+        users.select(F.concat(F.col("user"), F.lit("-absent")).alias("user"))
+    )
+    return annotate(probes, "user", qf, seen_col="seen", count_col="cnt")
+
+
+def _q_shingle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sh = doc.select(
+        F.explode(F.expr(shingle_expr("text", 3))).alias("shingle")
+    )
+    qf = build_qf(sh, "shingle", config=QFConfig(**_CFG))
+    return annotate(sh.distinct(), "shingle", qf, seen_col="seen", count_col="cnt")
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # CQF sketch queries (the engine core)
+        "web_pages_synth": _q_web_pages,
+        "cqf_url_membership": _q_url_membership,
+        "cqf_user_count": _q_user_count,
+        "cqf_shingle_count": _q_shingle_count,
+        # training-data pipeline operators
+        "text_stats": lambda s, d: textops.text_stats(_docs(s, d)),
+        "lang_id": lambda s, d: textops.lang_id(_docs(s, d)),
+        "fingerprint": lambda s, d: textops.fingerprint(_docs(s, d)),
+        "exact_dedup": lambda s, d: dedup.exact_dedup(_docs(s, d)),
+        # signature returned as a joined string so the array hashes
+        # identically regardless of the comparator's list representation
+        "minhash_signatures": lambda s, d: dedup.minhash_signatures(
+            _docs(s, d), num_hashes=16
+        ).select("doc_id", F.array_join("sig", ",").alias("sig")),
+        "minhash_lsh_pairs": lambda s, d: dedup.minhash_lsh_pairs(
+            _docs(s, d), threshold=0.2
+        ),
+        "ngram_jaccard": lambda s, d: dedup.ngram_jaccard(_docs(s, d), None).where(
+            "jaccard >= 0.05"
+        ),
+        "simhash": lambda s, d: dedup.simhash(_docs(s, d)),
+        "cosine_pairs": lambda s, d: similarity.cosine_pairs(
+            _emb(s, d), threshold=0.2
+        ),
+        "cosine_topk": lambda s, d: similarity.cosine_topk(_emb(s, d), k=5),
+        # approximate ANN: no SQL oracle (LSH candidate sets are not
+        # SQL-stable) -> rows-only check
+        "lsh_cosine_topk": lambda s, d: similarity.lsh_cosine_topk(
+            _emb(s, d), k=5, planes=6, tables=4
+        ),
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
 
+# ---------------------------------------------------------------------------
+# oracles (DuckDB SQL over the same parquet views)
+# ---------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    wp = DUCKDB_WEB_PAGES_SQL.strip().rstrip(";")
+    shingle_list = duckdb_shingle_sql("text", 3)
+    return {
+        "web_pages_synth": f"""
+            SELECT url, text, lang, length(text) AS text_len
+            FROM ({wp})
+        """,
+        "cqf_url_membership": f"""
+            WITH wp AS ({wp}),
+            probes AS (
+                SELECT url FROM wp
+                UNION ALL
+                SELECT url || '#absent' AS url FROM wp
+            ),
+            exact AS (SELECT url, COUNT(*) AS n FROM wp GROUP BY url)
+            SELECT p.url AS url,
+                   (e.n IS NOT NULL) AS seen,
+                   COALESCE(e.n, 0) AS cnt
+            FROM probes p LEFT JOIN exact e ON p.url = e.url
+        """,
+        "cqf_user_count": """
+            WITH ev AS (SELECT CAST(user_id AS VARCHAR) AS "user" FROM events),
+            users AS (SELECT DISTINCT "user" FROM ev),
+            probes AS (
+                SELECT "user" FROM users
+                UNION ALL
+                SELECT "user" || '-absent' AS "user" FROM users
+            ),
+            exact AS (SELECT "user", COUNT(*) AS n FROM ev GROUP BY "user")
+            SELECT p."user" AS "user",
+                   (e.n IS NOT NULL) AS seen,
+                   COALESCE(e.n, 0) AS cnt
+            FROM probes p LEFT JOIN exact e ON p."user" = e."user"
+        """,
+        "cqf_shingle_count": f"""
+            WITH sh AS (
+                SELECT unnest({shingle_list}) AS shingle FROM documents
+            ),
+            exact AS (SELECT shingle, COUNT(*) AS n FROM sh GROUP BY shingle)
+            SELECT shingle, TRUE AS seen, n AS cnt FROM exact
+        """,
+        "text_stats": textops.duckdb_text_stats_sql(),
+        "lang_id": textops.duckdb_lang_id_sql(),
+        "fingerprint": textops.duckdb_fingerprint_sql(),
+        "exact_dedup": dedup.DUCKDB_EXACT_DEDUP_SQL,
+        "minhash_signatures": (
+            "SELECT doc_id, array_to_string(sig, ',') AS sig FROM ("
+            + dedup.duckdb_minhash_sql(num_hashes=16)
+            + ")"
+        ),
+        "minhash_lsh_pairs": dedup.duckdb_minhash_lsh_pairs_sql(threshold=0.2),
+        "ngram_jaccard": dedup.duckdb_ngram_jaccard_sql(min_jaccard=0.05),
+        "simhash": dedup.duckdb_simhash_sql(),
+        "cosine_pairs": similarity.duckdb_cosine_pairs_sql(threshold=0.2),
+        "cosine_topk": similarity.duckdb_cosine_topk_sql(k=5),
+    }

@@ -1,0 +1,393 @@
+"""Distributed CQF construction on Spark.
+
+Two build strategies, both shaped for the 10^12-row design point:
+
+``build_qf``  — one merged filter. Shuffle-free: each input partition
+    locally pre-aggregates its hashes (numpy unique/count — the map-side
+    combine) and emits one serialized partial filter; partials merge under
+    an associative slot-level merge, either on the driver (few partitions)
+    or through a distributed tree merge (``tree_merge``). This is the
+    classic mergeable-sketch UDAF shape: the only data movement is
+    tiny filter payloads, so hot-key skew cannot concentrate load — a
+    key duplicated a billion times costs one (hash, count) pair per
+    partition it appears in.
+
+``build_sharded_qf`` — a hash-range-sharded filter collection for
+    cardinalities beyond one machine's RAM. Hashes are pre-aggregated by
+    ``groupBy(hash)`` (Spark's partial aggregation combines duplicates
+    map-side before the shuffle — the salting concern only applies beyond
+    that, and ``salt_buckets`` adds an explicit two-stage salted
+    pre-aggregation for pathological single-key skew), then routed by the
+    top ``shard_bits`` of the hash so each shard owns a contiguous,
+    uniformly-loaded hash range. Each shard stores ``hash << shard_bits``
+    (the shard id carries the top bits — lossless, and quotients stay
+    uniform within each shard's table). Shards checkpoint to a parquet
+    table with lineage metadata and builds resume by skipping shards
+    already present.
+
+Hashing is JVM-side (``F.xxhash64``, whole-stage codegen) for the default
+hash; murmur64a/fnv1a fall back to a vectorized Arrow pandas UDF. No
+per-row Python anywhere.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+from pyspark.sql.functions import pandas_udf
+
+from . import __version__ as _CODE_VERSION
+from .kernel import QF
+from .serde import qf_from_bytes, qf_to_bytes
+from .sizing import QFConfig
+
+DEFAULT_HASH = "xxhash64"
+
+HASH_COL = "qf_hash"
+
+
+def _u64(series_or_array) -> np.ndarray:
+    """Reinterpret a signed int64 hash column as uint64 (two's complement)."""
+    if isinstance(series_or_array, pd.Series):
+        series_or_array = series_or_array.to_numpy(dtype=np.int64)
+    return series_or_array.view(np.uint64)
+
+
+def hash_column(col, hash_name: str = DEFAULT_HASH) -> Column:
+    """A Column of 64-bit hashes (as signed int64 bit patterns) of ``col``.
+
+    xxhash64 runs JVM-side inside codegen; other hashes use a vectorized
+    Arrow pandas UDF over the key bytes.
+    """
+    col = F.col(col) if isinstance(col, str) else col
+    if hash_name == "xxhash64":
+        return F.xxhash64(col)
+
+    from .hashing import hash_bytes  # late import: keep module import light
+
+    @pandas_udf("long")
+    def _hash_udf(s: pd.Series) -> pd.Series:
+        hv = hash_bytes(s.fillna("").tolist(), hash_name)
+        return pd.Series(hv.view(np.int64))
+
+    return _hash_udf(col.cast("string"))
+
+
+def with_hash(df: DataFrame, col: str, hash_name: str = DEFAULT_HASH,
+              out: str = HASH_COL) -> DataFrame:
+    return df.withColumn(out, hash_column(col, hash_name))
+
+
+# ---------------------------------------------------------------------------
+# single merged filter
+# ---------------------------------------------------------------------------
+
+def _merge_hash_blobs(rows, counter_bits: int):
+    """Merge partial (sorted-unique hashes, counts) blobs into one
+    sorted-unique pair — the decoded form of the associative slot-level
+    merge (QF.merge decodes to exactly this and rebuilds)."""
+    hs = [np.frombuffer(r[0], dtype="<u8") for r in rows]
+    hv = np.concatenate(hs) if hs else np.empty(0, dtype=np.uint64)
+    if counter_bits > 0:
+        cs = [np.frombuffer(r[1], dtype="<u8") for r in rows]
+        cnt = np.concatenate(cs)
+        uhv, inverse = np.unique(hv, return_inverse=True)
+        agg = np.zeros(len(uhv), dtype=np.uint64)
+        np.add.at(agg, inverse, cnt)
+        return uhv, agg
+    return np.unique(hv), None
+
+
+def build_qf(
+    df: DataFrame,
+    col: str,
+    config: QFConfig | None = None,
+    tree_fanout: int = 64,
+    driver_merge_limit: int = 128,
+) -> QF:
+    """Build one merged CQF over ``df[col]``.
+
+    Plan shape: scan -> (column-pruned) select -> JVM hash -> mapInPandas
+    local pre-aggregation (one compact sorted (hash,count) partial per
+    partition — the decoded form of a partial filter) -> associative
+    merge (tree-merged executor-side above ``driver_merge_limit``
+    partials) -> one vectorized canonical bulk build.
+
+    No shuffle of row data; the only exchange moves partial-aggregate
+    blobs (~12 bytes per distinct key). Duplicate-key skew is absorbed by
+    the partition-local aggregation (map-side combine), so a key repeated
+    a billion times costs one pair per partition it appears in.
+    """
+    config = config or QFConfig(hash_name=DEFAULT_HASH, counter_bits=32)
+    hashed = with_hash(df.select(col), col, config.hash_name).select(HASH_COL)
+    partials_df = _partial_hashes(hashed, config)
+    n_parts = hashed.rdd.getNumPartitions()
+    if n_parts > driver_merge_limit:
+        partials_df = tree_merge(partials_df, config, fanout=tree_fanout)
+    rows = [(bytes(r.hashes), bytes(r.counts)) for r in partials_df.collect()]
+    if not rows:
+        return QF(config)
+    hv, counts = _merge_hash_blobs(rows, config.counter_bits)
+    return QF.from_hashes(hv, counts, config, assume_unique=True)
+
+
+def _partial_hashes(hashed: DataFrame, config: QFConfig) -> DataFrame:
+    """mapInPandas stage: per input partition, aggregate hash counts
+    locally (numpy sort-unique — the map-side combine) and emit one
+    compact partial-aggregate row."""
+    with_counts = config.counter_bits > 0
+
+    def _build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        chunks = [_u64(b[HASH_COL]) for b in batches if len(b)]
+        if not chunks:
+            return
+        hv = np.concatenate(chunks)
+        if with_counts:
+            uniq, counts = np.unique(hv, return_counts=True)
+            cbytes = counts.astype("<u8").tobytes()
+        else:
+            uniq = np.unique(hv)
+            cbytes = b""
+        yield pd.DataFrame(
+            {
+                "part_id": [0],
+                "n": [len(uniq)],
+                "hashes": [uniq.astype("<u8").tobytes()],
+                "counts": [cbytes],
+            }
+        )
+
+    out = hashed.mapInPandas(
+        _build, schema="part_id long, n long, hashes binary, counts binary"
+    )
+    # give partials distinct ids for the tree merge grouping
+    return out.withColumn("part_id", F.spark_partition_id().cast("long"))
+
+
+def tree_merge(partials_df: DataFrame, config: QFConfig, fanout: int = 64) -> DataFrame:
+    """Distributed tree merge of partial aggregates: repeatedly group
+    ``fanout`` partials and merge them executor-side until one row
+    remains. Depth = ceil(log_fanout(n)); the driver never holds more
+    than one partial (the role the reference's lossless double()
+    plays in treeAggregate form, qf.go:283-301)."""
+    counter_bits = config.counter_bits
+
+    def _merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        hv, counts = _merge_hash_blobs(
+            list(zip(pdf["hashes"], pdf["counts"])), counter_bits
+        )
+        return pd.DataFrame(
+            {
+                "part_id": [int(pdf["part_id"].iloc[0])],
+                "n": [len(hv)],
+                "hashes": [hv.astype("<u8").tobytes()],
+                "counts": [
+                    counts.astype("<u8").tobytes() if counts is not None else b""
+                ],
+            }
+        )
+
+    df = partials_df
+    n = df.count()
+    while n > 1:
+        df = (
+            df.withColumn("part_id", (F.col("part_id") / fanout).cast("long"))
+            .groupBy("part_id")
+            .applyInPandas(
+                _merge_group,
+                schema="part_id long, n long, hashes binary, counts binary",
+            )
+        )
+        n = (n + fanout - 1) // fanout
+    return df
+
+
+# ---------------------------------------------------------------------------
+# sharded filter (scale path)
+# ---------------------------------------------------------------------------
+
+class ShardedQF:
+    """A hash-range-partitioned collection of filters.
+
+    Shard ``s`` owns hashes whose top ``shard_bits`` equal ``s`` and
+    stores ``hash << shard_bits`` (lossless: the shard id carries the top
+    bits; quotients stay uniformly distributed inside each shard's
+    table). Lookups route each probe hash to its shard. At the 10^12
+    design point a single filter cannot fit one machine; the sharded form
+    is the primary artifact and the checkpoint table is its durable form.
+    """
+
+    def __init__(self, shard_bits: int, shards: dict[int, QF]):
+        if not (0 <= shard_bits <= 32):
+            raise ValueError("shard_bits must be in [0, 32]")
+        self.shard_bits = shard_bits
+        self.shards = shards
+        names = {qf.config.hash_name for qf in shards.values()}
+        cbits = {qf.config.counter_bits for qf in shards.values()}
+        if len(names) > 1 or len(cbits) > 1:
+            raise ValueError("inconsistent shard configs")
+        self.hash_name = names.pop() if names else DEFAULT_HASH
+        self.counter_bits = cbits.pop() if cbits else 0
+
+    @property
+    def entries(self) -> int:
+        return sum(len(qf) for qf in self.shards.values())
+
+    def __len__(self) -> int:
+        return self.entries
+
+    def lookup_hashes(self, hashes: np.ndarray):
+        hashes = np.asarray(hashes, dtype=np.uint64)
+        found = np.zeros(len(hashes), dtype=bool)
+        counts = np.zeros(len(hashes), dtype=np.uint64)
+        if not len(hashes):
+            return found, counts
+        sb = np.uint64(self.shard_bits)
+        sid = (hashes >> (np.uint64(64) - sb)).astype(np.int64) if self.shard_bits else np.zeros(len(hashes), np.int64)
+        local = hashes << sb
+        for s in np.unique(sid):
+            qf = self.shards.get(int(s))
+            if qf is None:
+                continue
+            rows = np.flatnonzero(sid == s)
+            f, c = qf.lookup_hashes(local[rows])
+            found[rows] = f
+            counts[rows] = c
+        return found, counts
+
+    def lookup_keys(self, keys):
+        from .hashing import hash_bytes
+
+        return self.lookup_hashes(hash_bytes(keys, self.hash_name))
+
+    def contains(self, key) -> bool:
+        f, _ = self.lookup_keys([key])
+        return bool(f[0])
+
+    def lookup(self, key):
+        f, c = self.lookup_keys([key])
+        return bool(f[0]), int(c[0])
+
+
+_SHARD_SCHEMA = (
+    "shard long, entries long, q_bits int, payload binary, "
+    "hash_name string, counter_bits int, shard_bits int, "
+    "n_rows long, build_ts double, code_version string"
+)
+
+
+def build_sharded_qf(
+    df: DataFrame,
+    col: str,
+    shard_bits: int = 4,
+    config: QFConfig | None = None,
+    checkpoint_path: str | None = None,
+    resume: bool = True,
+    salt_buckets: int = 0,
+) -> DataFrame:
+    """Build (or resume building) a sharded CQF; returns the shard-table
+    DataFrame ``(shard, entries, q_bits, payload, lineage...)``.
+
+    Stages: JVM hash -> exact pre-aggregation ``groupBy(hash).count()``
+    (map-side combine absorbs duplicate-key skew; ``salt_buckets>0`` adds
+    an explicit salted two-stage aggregation on top) -> route by top
+    ``shard_bits`` -> per-shard vectorized bulk build -> checkpoint.
+
+    With ``checkpoint_path`` set, completed shards are skipped on re-run
+    (lineage-recorded resumability) and the shard table is read back from
+    the checkpoint."""
+    config = config or QFConfig(hash_name=DEFAULT_HASH, counter_bits=32)
+    spark = df.sparkSession
+    sb = shard_bits
+
+    hashed = with_hash(df.select(col), col, config.hash_name).select(HASH_COL)
+    if salt_buckets > 1:
+        # two-stage salted pre-aggregation for pathological key skew:
+        # stage 1 shuffles on (hash, salt), stage 2 re-sums per hash
+        salted = hashed.withColumn(
+            "salt", F.pmod(F.monotonically_increasing_id(), F.lit(salt_buckets))
+        )
+        agg = (
+            salted.groupBy(HASH_COL, "salt")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .groupBy(HASH_COL)
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+    else:
+        agg = hashed.groupBy(HASH_COL).agg(F.count(F.lit(1)).alias("cnt"))
+
+    routed = agg.select(
+        F.shiftrightunsigned(F.col(HASH_COL), 64 - sb).alias("shard")
+        if sb
+        else F.lit(0).cast("long").alias("shard"),
+        F.shiftleft(F.col(HASH_COL), sb).alias("local_hash"),
+        F.col("cnt"),
+    )
+
+    done: set[int] = set()
+    if checkpoint_path and resume:
+        try:
+            existing = spark.read.parquet(checkpoint_path)
+            done = {int(r.shard) for r in existing.select("shard").distinct().collect()}
+        except Exception:
+            done = set()
+    if done:
+        routed = routed.filter(~F.col("shard").isin(list(done)))
+
+    cfg = (config.counter_bits, config.bit_packed, config.hash_name, sb)
+
+    def _build_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        counter_bits, bit_packed, hash_name, shard_bits_ = cfg
+        hv = _u64(pdf["local_hash"])
+        counts = pdf["cnt"].to_numpy(dtype=np.int64).view(np.uint64)
+        # hashes are distinct here (they come out of groupBy(hash))
+        qf = QF.from_hashes(
+            hv,
+            counts,
+            QFConfig(counter_bits=counter_bits, bit_packed=bit_packed,
+                     hash_name=hash_name),
+            assume_unique=True,
+        )
+        return pd.DataFrame(
+            {
+                "shard": [int(pdf["shard"].iloc[0])],
+                "entries": [len(qf)],
+                "q_bits": [qf.q_bits],
+                "payload": [qf_to_bytes(qf)],
+                "hash_name": [hash_name],
+                "counter_bits": [counter_bits],
+                "shard_bits": [shard_bits_],
+                "n_rows": [int(counts.astype(np.int64).sum())],
+                "build_ts": [time.time()],
+                "code_version": [_CODE_VERSION],
+            }
+        )
+
+    shards_df = routed.groupBy("shard").applyInPandas(_build_shard, schema=_SHARD_SCHEMA)
+
+    if checkpoint_path:
+        shards_df.write.mode("append").parquet(checkpoint_path)
+        return spark.read.parquet(checkpoint_path)
+    return shards_df
+
+
+def load_sharded_qf(shards_df_or_rows) -> ShardedQF:
+    """Materialize a ShardedQF from the shard table (DataFrame or
+    collected rows). Each shard's filter gets its probe index built."""
+    rows = (
+        shards_df_or_rows.collect()
+        if isinstance(shards_df_or_rows, DataFrame)
+        else list(shards_df_or_rows)
+    )
+    shards: dict[int, QF] = {}
+    shard_bits = 0
+    for r in rows:
+        qf = qf_from_bytes(bytes(r.payload))
+        shards[int(r.shard)] = qf
+        shard_bits = int(r.shard_bits)
+    return ShardedQF(shard_bits, shards)

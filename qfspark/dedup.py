@@ -1,0 +1,287 @@
+"""Deduplication operators for training-data pipelines.
+
+* exact dedup        — md5 content hash, keep the smallest doc_id
+* minhash + LSH      — shingle -> minhash signature -> banded LSH bucket
+                       join -> candidate pairs -> exact-Jaccard verify
+* n-gram Jaccard     — exact pairwise Jaccard over shared shingles
+* simhash            — 32-bit sign-aggregated token-hash fingerprint with
+                       Hamming-style near-dup pairing
+
+Scale shape: every operator is shuffle-bounded by its group key (content
+hash / shingle / LSH bucket), never by a cross join; candidate generation
+is always index-style (join on an equality key), so the 10^12-document
+version distributes exactly like these small-scale plans. All expressions
+are Spark built-ins (JVM codegen, no Python) and every operator has a
+DuckDB SQL twin built from the same md5-derived 60-bit hashes
+(textops.spark_hash60 / duckdb_hash60), so results are oracle-checkable
+bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .shingle import duckdb_shingle_sql, shingle_expr
+from .textops import duckdb_hash60, spark_hash60
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, col: str = "text") -> DataFrame:
+    """Keep one representative (min doc_id) per identical content hash.
+    The canonical first pass of any dedup pipeline: a single groupBy on
+    the content hash (uniform key -> no skew)."""
+    return (
+        df.select("doc_id", F.md5(F.col(col)).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+DUCKDB_EXACT_DEDUP_SQL = """
+    SELECT md5(text) AS content_hash,
+           MIN(doc_id) AS keep_doc_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+"""
+
+
+# ---------------------------------------------------------------------------
+# minhash signatures + LSH candidate pairs
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(
+    df: DataFrame, col: str = "text", k: int = 3, num_hashes: int = 16
+) -> DataFrame:
+    """(doc_id, sig: array<bigint>[num_hashes]) minhash signature over
+    word k-gram shingles. Hash family i is the md5-derived 60-bit hash of
+    ``i || ':' || shingle``. Documents with fewer than k tokens have no
+    shingles and are omitted (no signature is defined for them)."""
+    sh = f"sh_{col}"
+    h = spark_hash60(f"concat(i, ':', s)")
+    return (
+        df.select("doc_id", F.expr(shingle_expr(col, k)).alias(sh))
+        .where(F.expr(f"size({sh}) > 0"))
+        .select(
+            "doc_id",
+            F.expr(
+                f"transform(sequence(0, {num_hashes - 1}), "
+                f"i -> array_min(transform({sh}, s -> {h})))"
+            ).alias("sig"),
+        )
+    )
+
+
+def duckdb_minhash_sql(col: str = "text", k: int = 3, num_hashes: int = 16) -> str:
+    shl = duckdb_shingle_sql(col, k)
+    h = duckdb_hash60("(i || ':' || s)")
+    return f"""
+        SELECT doc_id,
+               list_transform(range(0, {num_hashes}),
+                              i -> list_min(list_transform(sh, s -> {h}))) AS sig
+        FROM (SELECT doc_id, {shl} AS sh FROM documents)
+        WHERE len(sh) > 0
+    """
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    col: str = "text",
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via banded LSH over minhash
+    signatures, verified with exact shingle Jaccard.
+
+    Pipeline: signature -> split into ``bands`` bands of
+    ``num_hashes/bands`` rows -> bucket key = (band index, band values)
+    -> self-join within buckets (equality join on the bucket key — the
+    only shuffle) -> exact Jaccard >= threshold verify. Returns
+    (doc_a, doc_b, jaccard) with doc_a < doc_b.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, col, k, num_hashes)
+    banded = sigs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), "
+                f"b -> struct(b AS band, "
+                f"array_join(slice(sig, b * {rows_per_band} + 1, {rows_per_band}), '_') AS key))"
+            )
+        ).alias("bk"),
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    cand = (
+        banded.alias("a")
+        .join(banded.alias("b"), ["band", "key"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    jac = ngram_jaccard(df, cand, col, k)
+    return jac.where(F.col("jaccard") >= threshold)
+
+
+def duckdb_minhash_lsh_pairs_sql(
+    col: str = "text", k: int = 3, num_hashes: int = 16, bands: int = 4,
+    threshold: float = 0.5,
+) -> str:
+    rows_per_band = num_hashes // bands
+    return f"""
+        WITH sigs AS ({duckdb_minhash_sql(col, k, num_hashes)}),
+        banded AS (
+            SELECT doc_id, b AS band,
+                   array_to_string(sig[b * {rows_per_band} + 1 : (b + 1) * {rows_per_band}], '_') AS key
+            FROM sigs, unnest(range(0, {bands})) AS t(b)
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM banded a JOIN banded b USING (band, key)
+            WHERE a.doc_id < b.doc_id
+        ),
+        sh AS (
+            SELECT doc_id, unnest({duckdb_shingle_sql(col, k)}) AS shingle
+            FROM documents
+        ),
+        dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM dsh GROUP BY doc_id),
+        inter AS (
+            SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS common
+            FROM dsh x JOIN dsh y USING (shingle)
+            WHERE x.doc_id < y.doc_id
+            GROUP BY x.doc_id, y.doc_id
+        )
+        SELECT c.doc_a, c.doc_b,
+               round(i.common / (sa.n + sb.n - i.common), 6) AS jaccard
+        FROM cand c
+        JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+        JOIN sizes sa ON sa.doc_id = c.doc_a
+        JOIN sizes sb ON sb.doc_id = c.doc_b
+        WHERE round(i.common / (sa.n + sb.n - i.common), 6) >= {threshold}
+    """
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+def _distinct_shingles(df: DataFrame, col: str, k: int) -> DataFrame:
+    return (
+        df.select("doc_id", F.explode(F.expr(shingle_expr(col, k))).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard(
+    df: DataFrame, pairs: DataFrame | None, col: str = "text", k: int = 3
+) -> DataFrame:
+    """Exact Jaccard similarity over distinct k-gram shingle sets for the
+    given candidate pairs (doc_a, doc_b), or for every pair sharing at
+    least one shingle when ``pairs`` is None. The join key is the shingle
+    (index-style candidate generation), never a cross product."""
+    dsh = _distinct_shingles(df, col, k).cache()
+    sizes = dsh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        dsh.alias("x")
+        .join(dsh.alias("y"), "shingle")
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .groupBy(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    if pairs is not None:
+        inter = inter.join(pairs, ["doc_a", "doc_b"])
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("common") / (F.col("na") + F.col("nb") - F.col("common")), 6
+            ).alias("jaccard"),
+        )
+    )
+
+
+def duckdb_ngram_jaccard_sql(col: str = "text", k: int = 3,
+                             min_jaccard: float = 0.0) -> str:
+    return f"""
+        WITH sh AS (
+            SELECT doc_id, unnest({duckdb_shingle_sql(col, k)}) AS shingle
+            FROM documents
+        ),
+        dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM dsh GROUP BY doc_id),
+        inter AS (
+            SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS common
+            FROM dsh x JOIN dsh y USING (shingle)
+            WHERE x.doc_id < y.doc_id
+            GROUP BY x.doc_id, y.doc_id
+        )
+        SELECT i.doc_a, i.doc_b,
+               round(i.common / (sa.n + sb.n - i.common), 6) AS jaccard
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.doc_a
+        JOIN sizes sb ON sb.doc_id = i.doc_b
+        WHERE round(i.common / (sa.n + sb.n - i.common), 6) >= {min_jaccard}
+    """
+
+
+# ---------------------------------------------------------------------------
+# simhash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 32  # fits comfortably in a signed 64-bit column
+
+
+def simhash(df: DataFrame, col: str = "text") -> DataFrame:
+    """32-bit simhash: each distinct token votes +-1 on every bit of its
+    60-bit hash; the fingerprint sets the bits with positive vote sums.
+    One explode + one groupBy(doc_id) — shuffle bounded by doc count."""
+    toks = (
+        df.select("doc_id", F.explode(F.split(F.col(col), " ")).alias("tok"))
+        .distinct()
+        .select("doc_id", F.expr(spark_hash60("tok")).alias("h"))
+    )
+    votes = [
+        F.sum(
+            F.when(F.shiftrightunsigned(F.col("h"), b).bitwiseAND(1) == 1, 1)
+            .otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    agg = toks.groupBy("doc_id").agg(*votes)
+    bits = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        bits = term if bits is None else bits + term
+    return agg.select("doc_id", bits.cast("long").alias("simhash"))
+
+
+def duckdb_simhash_sql(col: str = "text") -> str:
+    h = duckdb_hash60("tok")
+    votes = ", ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    bits = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(SIMHASH_BITS)
+    )
+    return f"""
+        WITH toks AS (
+            SELECT DISTINCT doc_id, unnest(string_split({col}, ' ')) AS tok
+            FROM documents
+        ),
+        hashed AS (SELECT doc_id, {h} AS h FROM toks),
+        agg AS (SELECT doc_id, {votes} FROM hashed GROUP BY doc_id)
+        SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM agg
+    """

@@ -110,6 +110,7 @@ class QF:
         hashes: np.ndarray,
         counts: np.ndarray | None = None,
         config: QFConfig | None = None,
+        assume_unique: bool = False,
     ) -> "QF":
         """Build the canonical filter from a (possibly duplicated) array of
         64-bit hashes in one vectorized pass.
@@ -117,6 +118,10 @@ class QF:
         Duplicate hashes are aggregated: with ``counter_bits`` configured,
         their counts (default 1 each, or the given ``counts``) are summed
         and stored saturating at the counter width.
+
+        ``assume_unique=True`` skips the dedup pass (the caller guarantees
+        the hashes are already distinct, e.g. they come out of a
+        ``groupBy(hash)``); they are sorted here if needed.
         """
         config = config or QFConfig()
         hashes = np.asarray(hashes, dtype=U64)
@@ -124,15 +129,28 @@ class QF:
             counts = np.asarray(counts, dtype=U64)
             if counts.shape != hashes.shape:
                 raise ValueError("counts must align with hashes")
-        hv, inverse = np.unique(hashes, return_inverse=True)
-        if config.counter_bits > 0:
-            if counts is None:
-                agg = np.bincount(inverse, minlength=len(hv)).astype(U64)
-            else:
-                agg = np.zeros(len(hv), dtype=U64)
-                np.add.at(agg, inverse, counts)
+        if assume_unique:
+            if len(hashes) > 1 and not bool((hashes[1:] > hashes[:-1]).all()):
+                order = np.argsort(hashes, kind="stable")
+                hashes = hashes[order]
+                if counts is not None:
+                    counts = counts[order]
+            hv = hashes
+            agg = (
+                (counts if counts is not None else np.ones(len(hv), dtype=U64))
+                if config.counter_bits > 0
+                else None
+            )
         else:
-            agg = None
+            hv, inverse = np.unique(hashes, return_inverse=True)
+            if config.counter_bits > 0:
+                if counts is None:
+                    agg = np.bincount(inverse, minlength=len(hv)).astype(U64)
+                else:
+                    agg = np.zeros(len(hv), dtype=U64)
+                    np.add.at(agg, inverse, counts)
+            else:
+                agg = None
 
         n = len(hv)
         need_q = max(config.derived_q_bits(), q_bits_for(n))
@@ -158,7 +176,13 @@ class QF:
         q = (hv >> r_bits).astype(np.int64)
         r = (hv & self.r_mask).astype(U64)
 
-        uq, run_len = np.unique(q, return_counts=True)
+        # hv is sorted, so q is sorted: diff-based unique beats np.unique
+        is_first = np.empty(n, dtype=bool)
+        is_first[0] = True
+        np.not_equal(q[1:], q[:-1], out=is_first[1:])
+        first_idx = np.flatnonzero(is_first)
+        uq = q[first_idx]
+        run_len = np.diff(np.append(first_idx, n))
         m = len(uq)
         size = self.size
 

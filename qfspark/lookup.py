@@ -1,0 +1,93 @@
+"""Broadcast-filter lookup: membership/count as DataFrame columns.
+
+The relational role of ``Contains`` (reference qf.go:448-459) at DataFrame
+level is a broadcast existence join of the probe column against the key
+set; here it is a broadcast of the serialized filter plus a vectorized
+Arrow pandas UDF probe — constant memory per executor, no shuffle of the
+probed table, no join.
+
+The deserialized filter (with its probe index) is cached per executor
+process keyed by broadcast id, so the Arrow batches pay only the numpy
+probe cost.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.functions import pandas_udf
+
+from .build import DEFAULT_HASH, ShardedQF, hash_column
+from .kernel import QF
+from .serde import qf_from_bytes, qf_to_bytes
+
+# per-executor-process cache: broadcast id -> deserialized filter object
+_FILTER_CACHE: dict[int, object] = {}
+
+
+def _serialize_filter(qf) -> tuple:
+    if isinstance(qf, QF):
+        return ("qf", qf_to_bytes(qf))
+    if isinstance(qf, ShardedQF):
+        return (
+            "sharded",
+            qf.shard_bits,
+            {s: qf_to_bytes(f) for s, f in qf.shards.items()},
+        )
+    raise TypeError(f"expected QF or ShardedQF, got {type(qf)!r}")
+
+
+def _deserialize_filter(payload: tuple):
+    if payload[0] == "qf":
+        qf = qf_from_bytes(payload[1])
+        qf.build_index()
+        return qf
+    _, shard_bits, blobs = payload
+    shards = {}
+    for s, b in blobs.items():
+        f = qf_from_bytes(b)
+        f.build_index()
+        shards[s] = f
+    return ShardedQF(shard_bits, shards)
+
+
+def annotate(
+    df: DataFrame,
+    col: str,
+    qf,
+    seen_col: str = "qf_seen",
+    count_col: str = "qf_count",
+) -> DataFrame:
+    """Add boolean membership and approximate-count columns for ``col``.
+
+    ``df.withColumn('seen', ...).withColumn('cnt', ...)`` semantics:
+    zero false negatives; a "seen" answer is wrong with probability
+    <= 2^-r; counts are exact under the filter's counter width for true
+    members."""
+    spark = df.sparkSession
+    hash_name = qf.config.hash_name if isinstance(qf, QF) else qf.hash_name
+    bc = spark.sparkContext.broadcast(_serialize_filter(qf))
+    bc_id = uuid.uuid4().hex  # per-annotate cache key for executor processes
+
+    @pandas_udf("struct<seen: boolean, cnt: long>")
+    def _probe(h: pd.Series) -> pd.DataFrame:
+        flt = _FILTER_CACHE.get(bc_id)
+        if flt is None:
+            flt = _deserialize_filter(bc.value)
+            _FILTER_CACHE[bc_id] = flt
+        hv = h.to_numpy(dtype=np.int64).view(np.uint64)
+        found, counts = flt.lookup_hashes(hv)
+        return pd.DataFrame(
+            {"seen": found, "cnt": counts.astype(np.int64)}
+        )
+
+    probe_struct = _probe(hash_column(col, hash_name))
+    return df.withColumn("_qf_probe", probe_struct).select(
+        *df.columns,
+        F.col("_qf_probe.seen").alias(seen_col),
+        F.col("_qf_probe.cnt").alias(count_col),
+    )

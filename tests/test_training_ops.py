@@ -1,0 +1,211 @@
+"""Training-data pipeline operators: Spark implementation vs DuckDB SQL
+twin, compared row-for-row at sf0.001 (the same comparison the driver's
+correctness gate performs at sf0.01)."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from qfspark import dedup, multimodal, similarity, textops
+
+from .conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in ["documents", "embeddings", "events"]:
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return c
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    df = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    df.cache()
+    df.count()
+    return df
+
+
+def _compare(spark_df, duck_df, sort_cols):
+    a = spark_df.toPandas()
+    b = duck_df
+    assert sorted(a.columns) == sorted(b.columns), (a.columns, b.columns)
+    a = a[sorted(a.columns)].sort_values(sort_cols).reset_index(drop=True)
+    b = b[sorted(b.columns)].sort_values(sort_cols).reset_index(drop=True)
+    assert len(a) == len(b), (len(a), len(b))
+    for col in a.columns:
+        av, bv = a[col], b[col]
+        if av.dtype == object and len(av) and isinstance(av.iloc[0], (list, np.ndarray)):
+            for x, y in zip(av, bv):
+                assert list(x) == list(y), col
+        elif np.issubdtype(av.dtype, np.floating):
+            assert np.allclose(
+                av.to_numpy(dtype=float), bv.to_numpy(dtype=float), atol=1e-9
+            ), col
+        else:
+            assert (av.to_numpy() == bv.to_numpy()).all(), col
+
+
+def test_text_stats_parity(spark, docs, con):
+    _compare(
+        textops.text_stats(docs),
+        con.sql(textops.duckdb_text_stats_sql()).df(),
+        ["doc_id"],
+    )
+
+
+def test_lang_id_parity(spark, docs, con):
+    _compare(
+        textops.lang_id(docs),
+        con.sql(textops.duckdb_lang_id_sql()).df(),
+        ["doc_id"],
+    )
+
+
+def test_fingerprint_parity(spark, docs, con):
+    _compare(
+        textops.fingerprint(docs),
+        con.sql(textops.duckdb_fingerprint_sql()).df(),
+        ["doc_id"],
+    )
+
+
+def test_exact_dedup_parity(spark, docs, con):
+    _compare(
+        dedup.exact_dedup(docs),
+        con.sql(dedup.DUCKDB_EXACT_DEDUP_SQL).df(),
+        ["content_hash"],
+    )
+
+
+def test_minhash_signature_parity(spark, docs, con):
+    _compare(
+        dedup.minhash_signatures(docs, num_hashes=8),
+        con.sql(dedup.duckdb_minhash_sql(num_hashes=8)).df(),
+        ["doc_id"],
+    )
+
+
+def test_ngram_jaccard_parity(spark, docs, con):
+    _compare(
+        dedup.ngram_jaccard(docs, None).where("jaccard >= 0.05"),
+        con.sql(dedup.duckdb_ngram_jaccard_sql(min_jaccard=0.05)).df(),
+        ["doc_a", "doc_b"],
+    )
+
+
+def test_minhash_lsh_pairs_parity(spark, docs, con):
+    _compare(
+        dedup.minhash_lsh_pairs(docs, threshold=0.2),
+        con.sql(dedup.duckdb_minhash_lsh_pairs_sql(threshold=0.2)).df(),
+        ["doc_a", "doc_b"],
+    )
+
+
+def test_simhash_parity(spark, docs, con):
+    _compare(
+        dedup.simhash(docs),
+        con.sql(dedup.duckdb_simhash_sql()).df(),
+        ["doc_id"],
+    )
+
+
+def test_cosine_pairs_parity(spark, con):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").limit(300)
+    got = similarity.cosine_pairs(emb, threshold=0.2).toPandas()
+    want = con.sql(
+        """
+        WITH base AS (
+            SELECT vec_id AS id, embedding::DOUBLE[] AS emb
+            FROM embeddings WHERE vec_id < 300
+        )
+        SELECT a.id AS id_a, b.id AS id_b,
+               round(list_dot_product(a.emb, b.emb) /
+                     (sqrt(list_dot_product(a.emb, a.emb)) *
+                      sqrt(list_dot_product(b.emb, b.emb))), 6) AS cos
+        FROM base a JOIN base b ON a.id < b.id
+        WHERE round(list_dot_product(a.emb, b.emb) /
+                    (sqrt(list_dot_product(a.emb, a.emb)) *
+                     sqrt(list_dot_product(b.emb, b.emb))), 6) >= 0.2
+        """
+    ).df()
+    a = got.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    b = want.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    assert len(a) == len(b)
+    assert (a[["id_a", "id_b"]].to_numpy() == b[["id_a", "id_b"]].to_numpy()).all()
+    assert np.allclose(a["cos"], b["cos"], atol=1e-9)
+
+
+def test_cosine_topk_deterministic_and_sane(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").limit(200)
+    topk = similarity.cosine_topk(emb, k=5).toPandas()
+    assert set(topk["rank"]) == {1, 2, 3, 4, 5}
+    per_q = topk.groupby("query_id").size()
+    assert (per_q == 5).all()
+    # rank 1 has the max cos per query
+    for qid, grp in topk.groupby("query_id"):
+        g = grp.sort_values("rank")
+        assert (g["cos"].diff().dropna() <= 1e-12).all()
+
+
+def test_lsh_topk_recall_vs_exact(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").limit(200)
+    emb.cache()
+    exact = similarity.cosine_topk(emb, k=3).toPandas()
+    approx = similarity.lsh_cosine_topk(emb, k=3, planes=4).toPandas()
+    # recall of rank-1 neighbor: LSH with 4 planes on clustered synthetic
+    # embeddings should recover a decent fraction
+    e1 = exact[exact["rank"] == 1].set_index("query_id")["neighbor_id"]
+    a1 = approx[approx["rank"] == 1].set_index("query_id")["neighbor_id"]
+    joined = e1.to_frame("e").join(a1.to_frame("a"), how="left")
+    recall = (joined["e"] == joined["a"]).mean()
+    assert recall > 0.3, recall
+
+
+def test_quality_filter(spark, docs):
+    kept = textops.quality_filter(docs, min_tokens=20).count()
+    total = docs.count()
+    assert 0 < kept <= total
+
+
+def test_media_features_deterministic(spark):
+    from qfspark.webpages import synthesize
+
+    wp = synthesize(spark, SF_DIR).limit(50)
+    f1 = multimodal.extract_media_features(wp, "url", "html").toPandas()
+    f2 = multimodal.extract_media_features(wp, "url", "html").toPandas()
+    assert len(f1) == 50
+    assert set(f1.columns) == {"media_id", "n_bytes", "kind", "features"}
+    a = f1.sort_values("media_id").reset_index(drop=True)
+    b = f2.sort_values("media_id").reset_index(drop=True)
+    for x, y in zip(a["features"], b["features"]):
+        assert list(x) == list(y)
+    assert (a["n_bytes"] > 0).all()
+    assert all(len(f) == multimodal.FEATURE_DIM for f in a["features"])
+
+
+def test_media_features_match_local(spark):
+    from qfspark.webpages import synthesize
+
+    wp = synthesize(spark, SF_DIR).limit(20)
+    rows = {r.url: bytes(r.html) for r in wp.collect()}
+    feats = multimodal.extract_media_features(wp, "url", "html").collect()
+    for r in feats:
+        want = multimodal.fake_features(rows[r.media_id])
+        assert np.allclose(np.array(r.features, dtype=np.float32), want)
+
+
+def test_sample_frames_shapes(spark):
+    from qfspark.webpages import synthesize
+
+    wp = synthesize(spark, SF_DIR).limit(10)
+    frames = multimodal.sample_frames(wp, "url", "html", frame_bytes=128,
+                                      max_frames=3).toPandas()
+    assert set(frames.columns) == {"media_id", "frame_no", "frame"}
+    per = frames.groupby("media_id")["frame_no"].max()
+    assert (per <= 2).all()
+    assert (frames["frame"].map(len) <= 128).all()
