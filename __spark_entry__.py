@@ -19,7 +19,12 @@ from qfspark.build import build_qf
 from qfspark.lookup import annotate
 from qfspark.shingle import duckdb_shingle_sql, shingle_expr
 from qfspark.sizing import QFConfig
-from qfspark.webpages import DUCKDB_WEB_PAGES_SQL, synthesize
+from qfspark.webpages import (
+    DUCKDB_WEB_PAGES_SQL,
+    duckdb_crawl_sql,
+    synthesize,
+    synthesize_crawl,
+)
 
 _CFG = dict(counter_bits=32, hash_name="xxhash64")
 
@@ -48,6 +53,17 @@ def _q_url_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         wp.select(F.concat(F.col("url"), F.lit("#absent")).alias("url"))
     )
     return annotate(probes, "url", qf, seen_col="seen", count_col="cnt")
+
+
+def _q_url_count_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Counting over a crawl with deterministic re-fetches: urls appear
+    1-3 times; the CQF counter must report the exact fetch count."""
+    crawl = synthesize_crawl(spark, sf_dir)
+    qf = build_qf(crawl, "url", config=QFConfig(**_CFG))
+    return annotate(
+        crawl.select("url").distinct(), "url", qf,
+        seen_col="seen", count_col="cnt",
+    )
 
 
 def _q_user_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -84,6 +100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # CQF sketch queries (the engine core)
         "web_pages_synth": _q_web_pages,
         "cqf_url_membership": _q_url_membership,
+        "cqf_url_count_dup": _q_url_count_dup,
         "cqf_user_count": _q_user_count,
         "cqf_shingle_count": _q_shingle_count,
         # training-data pipeline operators
@@ -103,6 +120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "jaccard >= 0.05"
         ),
         "simhash": lambda s, d: dedup.simhash(_docs(s, d)),
+        "simhash_pairs": lambda s, d: dedup.simhash_pairs(_docs(s, d), max_hamming=2),
         "cosine_pairs": lambda s, d: similarity.cosine_pairs(
             _emb(s, d), threshold=0.2
         ),
@@ -140,6 +158,11 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(e.n, 0) AS cnt
             FROM probes p LEFT JOIN exact e ON p.url = e.url
         """,
+        "cqf_url_count_dup": f"""
+            WITH crawl AS ({duckdb_crawl_sql()})
+            SELECT url, TRUE AS seen, COUNT(*) AS cnt
+            FROM crawl GROUP BY url
+        """,
         "cqf_user_count": """
             WITH ev AS (SELECT CAST(user_id AS VARCHAR) AS "user" FROM events),
             users AS (SELECT DISTINCT "user" FROM ev),
@@ -173,6 +196,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_pairs": dedup.duckdb_minhash_lsh_pairs_sql(threshold=0.2),
         "ngram_jaccard": dedup.duckdb_ngram_jaccard_sql(min_jaccard=0.05),
         "simhash": dedup.duckdb_simhash_sql(),
+        "simhash_pairs": dedup.duckdb_simhash_pairs_sql(max_hamming=2),
         "cosine_pairs": similarity.duckdb_cosine_pairs_sql(threshold=0.2),
         "cosine_topk": similarity.duckdb_cosine_topk_sql(k=5),
     }

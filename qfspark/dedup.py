@@ -266,6 +266,58 @@ def simhash(df: DataFrame, col: str = "text") -> DataFrame:
     return agg.select("doc_id", bits.cast("long").alias("simhash"))
 
 
+def simhash_pairs(df: DataFrame, col: str = "text",
+                  max_hamming: int = 3) -> DataFrame:
+    """Near-duplicate pairs by simhash Hamming distance <= max_hamming.
+
+    Candidate generation by pigeonhole banding: split the 32-bit simhash
+    into 4 bytes; any pair within Hamming distance 3 agrees on at least
+    one byte, so candidates come from an equality join on (band, byte) —
+    no cross product. Verified with bit_count(xor) <= max_hamming.
+    Returns (doc_a, doc_b, hamming)."""
+    sh = simhash(df, col)
+    banded = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 3), "
+                "b -> struct(b AS band, "
+                "CAST(shiftrightunsigned(simhash, b * 8) & 255 AS INT) AS byte))"
+            )
+        ).alias("bb"),
+    ).select("doc_id", "simhash", F.col("bb.band").alias("band"),
+             F.col("bb.byte").alias("byte"))
+    return (
+        banded.alias("a")
+        .join(banded.alias("b"), ["band", "byte"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.expr("bit_count(a.simhash ^ b.simhash)").alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+def duckdb_simhash_pairs_sql(col: str = "text", max_hamming: int = 3) -> str:
+    return f"""
+        WITH sh AS ({duckdb_simhash_sql(col)}),
+        banded AS (
+            SELECT doc_id, simhash, b AS band,
+                   CAST((simhash >> (b * 8)) & 255 AS INT) AS byte
+            FROM sh, (SELECT unnest(range(0, 4)) AS b)
+        )
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               bit_count(xor(a.simhash, b.simhash)) AS hamming
+        FROM banded a JOIN banded b USING (band, byte)
+        WHERE a.doc_id < b.doc_id
+          AND bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    """
+
+
 def duckdb_simhash_sql(col: str = "text") -> str:
     h = duckdb_hash60("tok")
     votes = ", ".join(

@@ -1,0 +1,117 @@
+"""Structured Streaming: incremental CQF construction.
+
+The reference is batch-only (no streaming anywhere in go-qfext); this
+module is qfspark's forward extension, built on exactly the property the
+batch pipeline proves: the filter is a distributive, associative
+aggregate, so an incremental build is "merge each micro-batch's partial
+into the running state".
+
+``stream_build_sharded`` wires a streaming DataFrame into foreachBatch:
+every micro-batch runs the same sharded build as the batch path and the
+checkpointed shard table is *merged* shard-by-shard (QF.merge — lossless,
+associative), so the shard table after N micro-batches is byte-identical
+to a batch build over the union of the batches. Exactly-once batch-id
+tracking makes re-delivered micro-batches idempotent.
+
+State lives in the shard table, not in executor memory: the stream can
+stop and resume from the checkpoint like any other qfspark build.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, functions as F
+
+from .build import DEFAULT_HASH, build_sharded_qf, load_sharded_qf
+from .kernel import QF
+from .serde import qf_from_bytes, qf_to_bytes
+from .sizing import QFConfig
+
+
+def _merge_shard_tables(spark, existing_path: str, new_df: DataFrame,
+                        out_path: str) -> None:
+    """Merge a new shard table into an existing one shard-by-shard
+    (executor-side applyInPandas; both tables are tiny relative to the
+    corpus — one row per shard)."""
+    import pandas as pd
+
+    existing = spark.read.parquet(existing_path)
+    both = existing.unionByName(new_df)
+
+    def _merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        filters = [qf_from_bytes(bytes(b)) for b in pdf["payload"]]
+        merged = QF.merge_many(filters) if len(filters) > 1 else filters[0]
+        row = pdf.iloc[0].copy()
+        row["payload"] = qf_to_bytes(merged)
+        row["entries"] = len(merged)
+        row["q_bits"] = merged.q_bits
+        row["n_rows"] = int(pdf["n_rows"].sum())
+        return pd.DataFrame([row])
+
+    schema = existing.schema
+    merged_df = both.groupBy("shard").applyInPandas(_merge, schema=schema)
+    merged_df.write.mode("overwrite").parquet(out_path)
+
+
+def stream_build_sharded(
+    stream_df: DataFrame,
+    col: str,
+    state_path: str,
+    shard_bits: int = 4,
+    config: QFConfig | None = None,
+    trigger: dict | None = None,
+):
+    """Start a streaming query that maintains a sharded CQF at
+    ``state_path/shards`` from a streaming source of keys.
+
+    Returns the StreamingQuery. The shard table is replaced atomically
+    per micro-batch (write to ``shards_next`` then rename), and processed
+    batch ids are recorded for idempotent re-delivery."""
+    config = config or QFConfig(hash_name=DEFAULT_HASH, counter_bits=32)
+    spark = stream_df.sparkSession
+    shards_path = os.path.join(state_path, "shards")
+    ids_path = os.path.join(state_path, "batch_ids.json")
+
+    def _seen_ids() -> set:
+        if os.path.exists(ids_path):
+            with open(ids_path) as f:
+                return set(json.load(f))
+        return set()
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        seen = _seen_ids()
+        if batch_id in seen:
+            return  # re-delivered micro-batch: already merged
+        new_shards = build_sharded_qf(
+            batch_df, col, shard_bits=shard_bits, config=config,
+            checkpoint_path=None,
+        )
+        if os.path.exists(shards_path):
+            next_path = os.path.join(state_path, "shards_next")
+            _merge_shard_tables(spark, shards_path, new_shards, next_path)
+            old = os.path.join(state_path, "shards_old")
+            os.rename(shards_path, old)
+            os.rename(next_path, shards_path)
+            import shutil
+
+            shutil.rmtree(old, ignore_errors=True)
+        else:
+            new_shards.write.mode("overwrite").parquet(shards_path)
+        seen.add(batch_id)
+        with open(ids_path, "w") as f:
+            json.dump(sorted(seen), f)
+
+    writer = stream_df.writeStream.foreachBatch(_process).outputMode("update")
+    writer = writer.option(
+        "checkpointLocation", os.path.join(state_path, "_spark_checkpoint")
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()
+
+
+def load_stream_state(spark, state_path: str):
+    """Load the current streaming filter state as a ShardedQF."""
+    return load_sharded_qf(spark.read.parquet(os.path.join(state_path, "shards")))

@@ -55,6 +55,30 @@ def synthesize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def synthesize_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """web_pages with deterministic re-fetches: page doc_id appears
+    ``1 + (doc_id % 3)`` times (FIXTURES.md asks for duplicate urls to
+    exercise counting and hot-key handling; re-fetch factor is a pure
+    function of doc_id so both engines agree)."""
+    wp = synthesize(spark, sf_dir)
+    return wp.withColumn(
+        "_fetch",
+        F.explode(
+            F.expr(
+                "sequence(0, pmod(CAST(regexp_extract(url, '([0-9]+)$', 1) AS BIGINT), 3))"
+            )
+        ),
+    ).drop("_fetch")
+
+
+#: DuckDB fragment for the same crawl duplication
+def duckdb_crawl_sql() -> str:
+    return f"""
+        SELECT w.* FROM ({DUCKDB_WEB_PAGES_SQL.strip()}) w,
+        unnest(range(0, 1 + (CAST(regexp_extract(w.url, '([0-9]+)$', 1) AS BIGINT) % 3))) AS t(i)
+    """
+
+
 #: DuckDB SQL producing the identical table from the pre-registered
 #: ``documents`` view (oracle side of the correctness gate).
 DUCKDB_WEB_PAGES_SQL = f"""

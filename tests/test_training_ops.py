@@ -114,6 +114,14 @@ def test_simhash_parity(spark, docs, con):
     )
 
 
+def test_simhash_pairs_parity(spark, docs, con):
+    _compare(
+        dedup.simhash_pairs(docs, max_hamming=4),
+        con.sql(dedup.duckdb_simhash_pairs_sql(max_hamming=4)).df(),
+        ["doc_a", "doc_b"],
+    )
+
+
 def test_cosine_pairs_parity(spark, con):
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").limit(300)
     got = similarity.cosine_pairs(emb, threshold=0.2).toPandas()
