@@ -15,9 +15,9 @@ Two build strategies, both shaped for the 10^12-row design point:
 ``build_sharded_qf`` — a hash-range-sharded filter collection for
     cardinalities beyond one machine's RAM. Hashes are pre-aggregated by
     ``groupBy(hash)`` (Spark's partial aggregation combines duplicates
-    map-side before the shuffle — the salting concern only applies beyond
-    that, and ``salt_buckets`` adds an explicit two-stage salted
-    pre-aggregation for pathological single-key skew), then routed by the
+    map-side before the shuffle; ``pre_agg='salted'`` keeps an explicit
+    two-stage salted row-level aggregation for demonstration), then routed
+    by the
     top ``shard_bits`` of the hash so each shard owns a contiguous,
     uniformly-loaded hash range. Each shard stores ``hash << shard_bits``
     (the shard id carries the top bits — lossless, and quotients stay
@@ -288,15 +288,24 @@ def build_sharded_qf(
     config: QFConfig | None = None,
     checkpoint_path: str | None = None,
     resume: bool = True,
-    salt_buckets: int = 0,
+    pre_agg: str = "local",
 ) -> DataFrame:
     """Build (or resume building) a sharded CQF; returns the shard-table
     DataFrame ``(shard, entries, q_bits, payload, lineage...)``.
 
-    Stages: JVM hash -> exact pre-aggregation ``groupBy(hash).count()``
-    (map-side combine absorbs duplicate-key skew; ``salt_buckets>0`` adds
-    an explicit salted two-stage aggregation on top) -> route by top
-    ``shard_bits`` -> per-shard vectorized bulk build -> checkpoint.
+    Stages (``pre_agg='local'``, the default): JVM hash -> mapInPandas
+    partition-local aggregation emitting one compact sorted
+    (hashes, counts) blob per (partition, shard) -> ONE shuffle of those
+    blobs (a few KB-MB rows, ~12 bytes per distinct key, no per-row
+    overhead) -> per-shard merge + vectorized bulk build -> checkpoint.
+    Partition-local aggregation is the combiner: duplicate-key skew
+    collapses before the exchange, the same way Spark's partial
+    aggregation would, but shipping raw little-endian numpy buffers.
+
+    ``pre_agg='salted'`` instead routes through an explicit two-stage
+    salted ``groupBy(hash, salt)`` aggregation — useful to *demonstrate*
+    skew handling with row-level exchanges; the local path already
+    absorbs any single-key skew.
 
     With ``checkpoint_path`` set, completed shards are skipped on re-run
     (lineage-recorded resumability) and the shard table is read back from
@@ -304,13 +313,13 @@ def build_sharded_qf(
     config = config or QFConfig(hash_name=DEFAULT_HASH, counter_bits=32)
     spark = df.sparkSession
     sb = shard_bits
+    with_counts = config.counter_bits > 0
 
     hashed = with_hash(df.select(col), col, config.hash_name).select(HASH_COL)
-    if salt_buckets > 1:
-        # two-stage salted pre-aggregation for pathological key skew:
-        # stage 1 shuffles on (hash, salt), stage 2 re-sums per hash
+
+    if pre_agg == "salted":
         salted = hashed.withColumn(
-            "salt", F.pmod(F.monotonically_increasing_id(), F.lit(salt_buckets))
+            "salt", F.pmod(F.monotonically_increasing_id(), F.lit(64))
         )
         agg = (
             salted.groupBy(HASH_COL, "salt")
@@ -318,16 +327,23 @@ def build_sharded_qf(
             .groupBy(HASH_COL)
             .agg(F.sum("cnt").alias("cnt"))
         )
+        routed = agg.select(
+            (F.shiftrightunsigned(F.col(HASH_COL), 64 - sb) if sb
+             else F.lit(0)).cast("long").alias("shard"),
+            F.shiftleft(F.col(HASH_COL), sb).alias("local_hash"),
+            F.col("cnt"),
+        )
+        partials = routed.groupBy("shard").applyInPandas(
+            _rows_to_blob(with_counts),
+            schema="shard long, hashes binary, counts binary",
+        )
+    elif pre_agg == "local":
+        partials = hashed.mapInPandas(
+            _local_shard_blobs(sb, with_counts),
+            schema="shard long, hashes binary, counts binary",
+        )
     else:
-        agg = hashed.groupBy(HASH_COL).agg(F.count(F.lit(1)).alias("cnt"))
-
-    routed = agg.select(
-        F.shiftrightunsigned(F.col(HASH_COL), 64 - sb).alias("shard")
-        if sb
-        else F.lit(0).cast("long").alias("shard"),
-        F.shiftleft(F.col(HASH_COL), sb).alias("local_hash"),
-        F.col("cnt"),
-    )
+        raise ValueError(f"unknown pre_agg mode {pre_agg!r}")
 
     done: set[int] = set()
     if checkpoint_path and resume:
@@ -337,21 +353,23 @@ def build_sharded_qf(
         except Exception:
             done = set()
     if done:
-        routed = routed.filter(~F.col("shard").isin(list(done)))
+        partials = partials.filter(~F.col("shard").isin(list(done)))
 
     cfg = (config.counter_bits, config.bit_packed, config.hash_name, sb)
 
-    def _build_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+    def _merge_and_build(pdf: pd.DataFrame) -> pd.DataFrame:
         counter_bits, bit_packed, hash_name, shard_bits_ = cfg
-        hv = _u64(pdf["local_hash"])
-        counts = pdf["cnt"].to_numpy(dtype=np.int64).view(np.uint64)
-        # hashes are distinct here (they come out of groupBy(hash))
+        hv, counts = _merge_hash_blobs(
+            list(zip(pdf["hashes"], pdf["counts"])), counter_bits
+        )
         qf = QF.from_hashes(
-            hv,
-            counts,
+            hv, counts,
             QFConfig(counter_bits=counter_bits, bit_packed=bit_packed,
                      hash_name=hash_name),
             assume_unique=True,
+        )
+        n_rows = (
+            int(counts.astype(np.int64).sum()) if counts is not None else len(hv)
         )
         return pd.DataFrame(
             {
@@ -362,18 +380,82 @@ def build_sharded_qf(
                 "hash_name": [hash_name],
                 "counter_bits": [counter_bits],
                 "shard_bits": [shard_bits_],
-                "n_rows": [int(counts.astype(np.int64).sum())],
+                "n_rows": [n_rows],
                 "build_ts": [time.time()],
                 "code_version": [_CODE_VERSION],
             }
         )
 
-    shards_df = routed.groupBy("shard").applyInPandas(_build_shard, schema=_SHARD_SCHEMA)
+    shards_df = partials.groupBy("shard").applyInPandas(
+        _merge_and_build, schema=_SHARD_SCHEMA
+    )
 
     if checkpoint_path:
         shards_df.write.mode("append").parquet(checkpoint_path)
         return spark.read.parquet(checkpoint_path)
     return shards_df
+
+
+def _local_shard_blobs(shard_bits: int, with_counts: bool):
+    """mapInPandas combiner: per input partition, sort+unique all hashes
+    (sorting the full hash sorts by (shard, local) at once) and emit one
+    (shard, hashes, counts) blob per shard present in the partition.
+    Blob hashes are the shard-local form ``hash << shard_bits``, sorted."""
+
+    def _fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        chunks = [_u64(b[HASH_COL]) for b in batches if len(b)]
+        if not chunks:
+            return
+        hv = np.concatenate(chunks)
+        if with_counts:
+            uniq, counts = np.unique(hv, return_counts=True)
+        else:
+            uniq, counts = np.unique(hv), None
+        sb = np.uint64(shard_bits)
+        if shard_bits:
+            shards = (uniq >> (np.uint64(64) - sb)).astype(np.int64)
+            local = uniq << sb
+            # uniq is sorted, so shards are sorted: slice at boundaries
+            shard_ids, starts = np.unique(shards, return_index=True)
+            ends = np.append(starts[1:], len(uniq))
+        else:
+            local = uniq
+            shard_ids = np.array([0])
+            starts, ends = np.array([0]), np.array([len(uniq)])
+        out_shard, out_h, out_c = [], [], []
+        for s, lo, hi in zip(shard_ids.tolist(), starts.tolist(), ends.tolist()):
+            out_shard.append(s)
+            out_h.append(local[lo:hi].astype("<u8").tobytes())
+            out_c.append(
+                counts[lo:hi].astype("<u8").tobytes() if with_counts else b""
+            )
+        yield pd.DataFrame({"shard": out_shard, "hashes": out_h, "counts": out_c})
+
+    return _fn
+
+
+def _rows_to_blob(with_counts: bool):
+    """applyInPandas adapter for the salted row-level path: convert a
+    shard's (local_hash, cnt) rows into one sorted blob row."""
+
+    def _fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        hv = _u64(pdf["local_hash"])
+        order = np.argsort(hv, kind="stable")
+        hv = hv[order]
+        if with_counts:
+            cnt = pdf["cnt"].to_numpy(dtype=np.int64).view(np.uint64)[order]
+            cbytes = cnt.astype("<u8").tobytes()
+        else:
+            cbytes = b""
+        return pd.DataFrame(
+            {
+                "shard": [int(pdf["shard"].iloc[0])],
+                "hashes": [hv.astype("<u8").tobytes()],
+                "counts": [cbytes],
+            }
+        )
+
+    return _fn
 
 
 def load_sharded_qf(shards_df_or_rows) -> ShardedQF:

@@ -275,10 +275,18 @@ class QF:
     # probe
     # ------------------------------------------------------------------
     def build_index(self) -> None:
-        """Cache the decoded sorted-hash array for O(log n) searchsorted
-        probes (~8 bytes/entry extra RAM; the fast broadcast-lookup path)."""
+        """Cache a direct-addressed probe index: the decoded sorted hash
+        array plus per-quotient offsets (bucket -> slice of the sorted
+        hashes). Probes become O(1): one offset gather + avg ~load
+        candidate comparisons, no binary search. Extra RAM: 8 bytes per
+        entry + 8 bytes per bucket (about the filter's own footprint) —
+        the fast broadcast-lookup path."""
         hv, counts = self.decode(sort=True)
-        self._index = (hv, counts)
+        q = (hv >> U64(self.r_bits)).astype(np.int64)
+        bucket_counts = np.bincount(q, minlength=self.size)
+        offsets = np.zeros(self.size + 1, dtype=np.int64)
+        np.cumsum(bucket_counts, out=offsets[1:])
+        self._index = (hv, counts, offsets)
 
     def lookup_hashes(self, hashes: np.ndarray, mode: str = "auto"):
         """Batch probe. Returns ``(found bool[n], counts uint64[n])``.
@@ -294,15 +302,29 @@ class QF:
         if mode == "index":
             if self._index is None:
                 self.build_index()
-            hv, counts = self._index
-            out_counts = np.zeros(len(hashes), dtype=U64)
+            hv, counts, offsets = self._index
+            n = len(hashes)
+            out_counts = np.zeros(n, dtype=U64)
+            found = np.zeros(n, dtype=bool)
             if len(hv) == 0:
-                return np.zeros(len(hashes), dtype=bool), out_counts
-            ix = np.searchsorted(hv, hashes)
-            ix_c = np.minimum(ix, len(hv) - 1)
-            found = hv[ix_c] == hashes
-            if counts is not None:
-                out_counts[found] = counts[ix_c[found]]
+                return found, out_counts
+            q = (hashes >> U64(self.r_bits)).astype(np.int64)
+            start = offsets[q]
+            end = offsets[q + 1]
+            # scan each bucket's run (avg length = load factor; the
+            # active set shrinks geometrically per iteration)
+            pos = start
+            active = np.flatnonzero(pos < end)
+            while active.size:
+                cand_ix = pos[active]
+                hit = hv[cand_ix] == hashes[active]
+                hit_rows = active[hit]
+                found[hit_rows] = True
+                if counts is not None and hit_rows.size:
+                    out_counts[hit_rows] = counts[pos[hit_rows]]
+                rest = active[~hit]
+                pos[rest] += 1
+                active = rest[pos[rest] < end[rest]]
             return found, out_counts
         if mode == "walk":
             return self._probe_walk(hashes)

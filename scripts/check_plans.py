@@ -1,0 +1,82 @@
+#!/usr/bin/env python3
+"""Physical-plan audit: assert the optimizer properties ARCHITECTURE.md
+claims — column-pruned scans, map-side partial aggregation, pushed
+filters, Arrow (not row-Python) UDF nodes, broadcast-free probe side.
+
+Usage: python scripts/check_plans.py [sf_dir]
+Exits non-zero if a claimed plan property is missing.
+"""
+
+import re
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    from pyspark.sql import SparkSession, functions as F
+
+    from qfspark.build import with_hash
+    from qfspark.webpages import synthesize
+
+    spark = (
+        SparkSession.builder.master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    failures = []
+
+    def check(name, plan, pattern, must_exist=True, flags=re.I):
+        ok = re.search(pattern, plan, flags) is not None
+        if ok != must_exist:
+            failures.append(name)
+        print(f"{'OK ' if ok == must_exist else 'FAIL'} {name}")
+
+    # 1. hash+pre-agg plan: scan prunes to the key column; partial agg
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    hashed = with_hash(docs, "text").select("qf_hash")
+    agg = hashed.groupBy("qf_hash").count()
+    p = plan_of(agg)
+    check("scan reads only text column", p, r"ReadSchema:.*struct<text:string>")
+    check("xxhash64 in codegen (no Python)", p, r"xxhash64")
+    check("no row-python eval in hash path", p, r"BatchEvalPython", must_exist=False)
+    check("map-side partial aggregate", p, r"HashAggregate.*\n.*(partial|merge)|partial_count|Functions \[partial",)
+
+    # 2. predicate pushdown reaches the scan
+    filtered = docs.where(F.col("lang") == "en").select("doc_id")
+    p2 = plan_of(filtered)
+    check("lang filter pushed to scan", p2, r"PushedFilters: \[.*(IsNotNull|EqualTo)\(lang")
+    check("pruned to doc_id+lang", p2, r"ReadSchema:.*struct<doc_id:bigint,lang:string>")
+
+    # 3. annotate probe: Arrow eval, no shuffle of the probed table
+    from qfspark.build import build_qf
+    from qfspark.lookup import annotate
+    from qfspark.sizing import QFConfig
+
+    wp = synthesize(spark, sf_dir)
+    qf = build_qf(wp, "url", config=QFConfig(counter_bits=8, hash_name="xxhash64"))
+    probed = annotate(wp.select("url"), "url", qf)
+    p3 = plan_of(probed)
+    check("probe uses ArrowEvalPython", p3, r"ArrowEvalPython")
+    check("probe side has no exchange", p3, r"Exchange", must_exist=False)
+
+    # 4. web_pages synthesis stays in codegen
+    p4 = plan_of(wp)
+    check("synthesis is pure projection", p4, r"Project")
+    check("no python in synthesis", p4, r"EvalPython", must_exist=False)
+
+    spark.stop()
+    print("\n%d failures" % len(failures))
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
