@@ -14,9 +14,9 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from qfspark import dedup, similarity, textops
+from qfspark import dedup, multimodal, similarity, textops
 from qfspark.build import build_qf
-from qfspark.lookup import annotate
+from qfspark.lookup import annotate, filter_unseen
 from qfspark.shingle import duckdb_shingle_sql, shingle_expr
 from qfspark.sizing import QFConfig
 from qfspark.webpages import (
@@ -87,6 +87,20 @@ def _q_shingle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return annotate(sh.distinct(), "shingle", qf, seen_col="seen", count_col="cnt")
 
 
+def _q_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-crawl dedup: a filter built over the odd-source half of
+    the crawl; the frontier (all urls + fresh candidates) is filtered to
+    urls NOT yet seen. The training-data primitive: drop already-crawled
+    pages before fetching/processing."""
+    wp = synthesize(spark, sf_dir)
+    seen_half = wp.where(F.col("url").like("%src1%") | F.col("url").like("%src3%"))
+    qf = build_qf(seen_half, "url", config=QFConfig(**_CFG))
+    frontier = wp.select("url").union(
+        wp.select(F.concat(F.col("url"), F.lit("?new=1")).alias("url"))
+    )
+    return filter_unseen(frontier, "url", qf)
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
@@ -103,6 +117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cqf_url_count_dup": _q_url_count_dup,
         "cqf_user_count": _q_user_count,
         "cqf_shingle_count": _q_shingle_count,
+        "cqf_crawl_frontier": _q_crawl_frontier,
         # training-data pipeline operators
         "text_stats": lambda s, d: textops.text_stats(_docs(s, d)),
         "lang_id": lambda s, d: textops.lang_id(_docs(s, d)),
@@ -121,6 +136,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "simhash": lambda s, d: dedup.simhash(_docs(s, d)),
         "simhash_pairs": lambda s, d: dedup.simhash_pairs(_docs(s, d), max_hamming=2),
+        "embedding_near_dup": lambda s, d: dedup.embedding_near_dup(
+            _emb(s, d), threshold=0.35
+        ),
+        "quality_filter": lambda s, d: textops.quality_filter(
+            _docs(s, d), min_tokens=30
+        ).select("doc_id", "lang", "source"),
+        # media feature extraction over synthesized html binaries:
+        # Pandas-UDF plumbing with the deterministic stand-in featurizer;
+        # projected metadata (id, byte length, kind) is oracle-checked
+        "media_features": lambda s, d: multimodal.extract_media_features(
+            synthesize(s, d), "url", "html"
+        ).select("media_id", "n_bytes", "kind"),
         "cosine_pairs": lambda s, d: similarity.cosine_pairs(
             _emb(s, d), threshold=0.2
         ),
@@ -163,6 +190,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT url, TRUE AS seen, COUNT(*) AS cnt
             FROM crawl GROUP BY url
         """,
+        "cqf_crawl_frontier": f"""
+            WITH wp AS ({wp}),
+            seen AS (
+                SELECT url FROM wp
+                WHERE url LIKE '%src1%' OR url LIKE '%src3%'
+            ),
+            frontier AS (
+                SELECT url FROM wp
+                UNION ALL
+                SELECT url || '?new=1' AS url FROM wp
+            )
+            SELECT f.url FROM frontier f
+            WHERE f.url NOT IN (SELECT url FROM seen)
+        """,
         "cqf_user_count": """
             WITH ev AS (SELECT CAST(user_id AS VARCHAR) AS "user" FROM events),
             users AS (SELECT DISTINCT "user" FROM ev),
@@ -197,6 +238,19 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": dedup.duckdb_ngram_jaccard_sql(min_jaccard=0.05),
         "simhash": dedup.duckdb_simhash_sql(),
         "simhash_pairs": dedup.duckdb_simhash_pairs_sql(max_hamming=2),
+        "embedding_near_dup": dedup.duckdb_embedding_near_dup_sql(threshold=0.35),
+        "media_features": f"""
+            SELECT url AS media_id, octet_length(html) AS n_bytes,
+                   'image' AS kind
+            FROM ({wp})
+        """,
+        "quality_filter": f"""
+            WITH stats AS ({textops.duckdb_text_stats_sql()})
+            SELECT d.doc_id, d.lang, d.source
+            FROM documents d JOIN stats s ON d.doc_id = s.doc_id
+            WHERE s.n_tokens >= 30 AND s.n_tokens <= 100000
+              AND s.stopword_ratio >= 0.0
+        """,
         "cosine_pairs": similarity.duckdb_cosine_pairs_sql(threshold=0.2),
         "cosine_topk": similarity.duckdb_cosine_topk_sql(k=5),
     }

@@ -236,6 +236,44 @@ def duckdb_ngram_jaccard_sql(col: str = "text", k: int = 3,
 
 
 # ---------------------------------------------------------------------------
+# embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+def embedding_near_dup(
+    emb_df: DataFrame,
+    id_col: str = "vec_id",
+    col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Near-duplicate groups by embedding cosine similarity: pairs with
+    cosine >= threshold collapse to (dup id -> keep id = min id of the
+    pair). Returns (doc_id, keep_doc_id) for every duplicate member.
+
+    Small-scale exact (brute-force pairs); at scale swap the pair source
+    for similarity.lsh_cosine_topk candidates — the decision logic is
+    identical."""
+    from .similarity import cosine_pairs
+
+    pairs = cosine_pairs(emb_df, id_col, col, threshold)
+    return (
+        pairs.groupBy(F.col("id_b").alias("doc_id"))
+        .agg(F.min("id_a").alias("keep_doc_id"))
+    )
+
+
+def duckdb_embedding_near_dup_sql(
+    id_col: str = "vec_id", col: str = "embedding", threshold: float = 0.95
+) -> str:
+    from .similarity import duckdb_cosine_pairs_sql
+
+    return f"""
+        WITH pairs AS ({duckdb_cosine_pairs_sql(id_col, col, threshold)})
+        SELECT id_b AS doc_id, MIN(id_a) AS keep_doc_id
+        FROM pairs GROUP BY id_b
+    """
+
+
+# ---------------------------------------------------------------------------
 # simhash
 # ---------------------------------------------------------------------------
 

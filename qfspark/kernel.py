@@ -186,26 +186,33 @@ class QF:
         m = len(uq)
         size = self.size
 
-        # run-start recurrence over the doubled sequence (circular layout)
-        qd = np.concatenate([uq, uq + size])
-        cd = np.concatenate([run_len, run_len])
-        Cd = np.concatenate(([0], np.cumsum(cd)[:-1]))
-        sd = Cd + np.maximum.accumulate(qd - Cd)
-        starts = sd[m:] - size  # correct circular run-start positions
+        # run-start recurrence: start_i = C_i + running_max(q_j - C_j)
+        # (C = exclusive cumsum of run lengths). Computed linearly first;
+        # the doubled-sequence pass for circular wraparound is only needed
+        # when the last cluster actually overflows the table end.
+        C = np.empty(m, dtype=np.int64)
+        C[0] = 0
+        np.cumsum(run_len[:-1], out=C[1:])
+        starts = C + np.maximum.accumulate(uq - C)
+        if starts[-1] + run_len[-1] > size:
+            qd = np.concatenate([uq, uq + size])
+            cd = np.concatenate([run_len, run_len])
+            Cd = np.empty(2 * m, dtype=np.int64)
+            Cd[0] = 0
+            np.cumsum(cd[:-1], out=Cd[1:])
+            starts = (Cd + np.maximum.accumulate(qd - Cd))[m:] - size
 
-        # per-element slot positions
-        run_first = np.concatenate(([0], np.cumsum(run_len)[:-1]))
-        offs = np.arange(n, dtype=np.int64) - np.repeat(run_first, run_len)
-        pos = (np.repeat(starts, run_len) + offs) % size
+        # per-element slot positions (size is a power of two: mask == mod)
+        offs = np.arange(n, dtype=np.int64)
+        offs -= np.repeat(first_idx, run_len)
+        pos = np.repeat(starts, run_len)
+        pos += offs
+        pos &= size - 1
         quot = np.repeat(uq, run_len)
 
-        cont = offs > 0
-        shifted = pos != quot
-        slot_vals = (
-            (r << U64(3))
-            | (cont.astype(U64) << U64(1))
-            | (shifted.astype(U64) << U64(2))
-        )
+        slot_vals = r << U64(3)
+        slot_vals |= (offs > 0).astype(U64) << U64(1)  # is_continuation
+        slot_vals |= (pos != quot).astype(U64) << U64(2)  # is_shifted
         self.filter.scatter_or(pos, slot_vals)
         # occupied bit lives at the *home* slot of each occupied quotient,
         # which may or may not coincide with an element position -> OR in.

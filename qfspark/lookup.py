@@ -91,3 +91,22 @@ def annotate(
         F.col("_qf_probe.seen").alias(seen_col),
         F.col("_qf_probe.cnt").alias(count_col),
     )
+
+
+def filter_unseen(df: DataFrame, col: str, qf) -> DataFrame:
+    """Rows whose key is NOT in the filter — the incremental-crawl /
+    training-data dedup primitive ("drop documents whose url/shingle was
+    already seen"). Zero false negatives means nothing already-seen leaks
+    through; a new row is wrongly dropped with probability <= 2^-r.
+
+    Relational role: broadcast left-anti join against the key set,
+    without shuffling the probed table."""
+    annotated = annotate(df, col, qf, seen_col="_qf_seen", count_col="_qf_cnt")
+    return annotated.where(~F.col("_qf_seen")).drop("_qf_seen", "_qf_cnt")
+
+
+def filter_seen(df: DataFrame, col: str, qf) -> DataFrame:
+    """Rows whose key IS (probably) in the filter — broadcast left-semi
+    join analog; complement of filter_unseen."""
+    annotated = annotate(df, col, qf, seen_col="_qf_seen", count_col="_qf_cnt")
+    return annotated.where(F.col("_qf_seen")).drop("_qf_seen", "_qf_cnt")
