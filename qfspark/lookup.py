@@ -93,6 +93,65 @@ def annotate(
     )
 
 
+def annotate_via_shard_table(
+    df: DataFrame,
+    col: str,
+    shards_df: DataFrame,
+    seen_col: str = "qf_seen",
+    count_col: str = "qf_count",
+) -> DataFrame:
+    """Membership/count lookup against a *checkpointed shard table*
+    without broadcasting anything — the path for filters too large for
+    executor memory (10^12-entry scale: the shard table is TBs; any one
+    shard is ~1 GB).
+
+    Probes route by the top ``shard_bits`` of their hash and cogroup with
+    the one shard row that owns that hash range: each task deserializes
+    exactly one shard and batch-probes its group of keys. The shuffle
+    moves (key, hash) pairs grouped by shard — uniformly distributed,
+    since top hash bits are uniform over distinct keys.
+    """
+    first = shards_df.select("shard_bits", "hash_name").limit(1).collect()[0]
+    sb, hash_name = int(first.shard_bits), first.hash_name
+
+    hashed = df.select(
+        F.col(col).alias("_qf_key"),
+        hash_column(col, hash_name).alias("_qf_h"),
+    ).withColumn(
+        "shard",
+        F.shiftrightunsigned(F.col("_qf_h"), 64 - sb) if sb
+        else F.lit(0).cast("long"),
+    )
+
+    def _probe_group(probes: pd.DataFrame, shard_rows: pd.DataFrame) -> pd.DataFrame:
+        if len(probes) == 0:
+            return pd.DataFrame(
+                {"_qf_key": [], seen_col: pd.Series([], dtype=bool),
+                 count_col: pd.Series([], dtype="int64")}
+            )
+        hv = probes["_qf_h"].to_numpy(dtype=np.int64).view(np.uint64)
+        local = hv << np.uint64(sb)
+        if len(shard_rows) == 0:
+            found = np.zeros(len(probes), dtype=bool)
+            counts = np.zeros(len(probes), dtype=np.int64)
+        else:
+            qf = qf_from_bytes(bytes(shard_rows["payload"].iloc[0]))
+            f, c = qf.lookup_hashes(local)
+            found, counts = f, c.astype(np.int64)
+        return pd.DataFrame(
+            {"_qf_key": probes["_qf_key"].to_numpy(),
+             seen_col: found, count_col: counts}
+        )
+
+    out_schema = f"_qf_key string, {seen_col} boolean, {count_col} long"
+    probed = (
+        hashed.groupBy("shard")
+        .cogroup(shards_df.select("shard", "payload").groupBy("shard"))
+        .applyInPandas(_probe_group, schema=out_schema)
+    )
+    return probed.withColumnRenamed("_qf_key", col)
+
+
 def filter_unseen(df: DataFrame, col: str, qf) -> DataFrame:
     """Rows whose key is NOT in the filter — the incremental-crawl /
     training-data dedup primitive ("drop documents whose url/shingle was

@@ -115,3 +115,36 @@ def stream_build_sharded(
 def load_stream_state(spark, state_path: str):
     """Load the current streaming filter state as a ShardedQF."""
     return load_sharded_qf(spark.read.parquet(os.path.join(state_path, "shards")))
+
+
+def windowed_key_counts(
+    stream_df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    window: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Event-time windowed key counts with late-data handling: the
+    standard watermark + tumbling-window aggregation a streaming
+    ingestion pipeline runs ahead of the filter build (e.g. per-window
+    url fetch counts). Rows later than ``watermark`` past the max seen
+    event time are dropped and window state is evicted — bounded state
+    regardless of stream length.
+
+    Returns (window_start, window_end, key, cnt); pair with
+    ``stream_build_sharded`` to maintain a CQF per completed window.
+    """
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.window(F.col(ts_col), window).alias("w"),
+            F.col(key_col).alias("key"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "key",
+            "cnt",
+        )
+    )

@@ -31,11 +31,17 @@ def main():
 
     out = {"n_keys": n}
 
-    # hashing throughput (vectorized murmur64a over ~20-byte keys)
+    # hashing throughput (vectorized murmur64a over ~20-byte keys);
+    # min of 2 reps — the first pays page-fault first-touch on the big
+    # buffers, which amortizes away in a long-lived executor
     keys = [f"https://example.com/{i}" for i in range(200_000)]
-    t0 = time.time()
-    murmur64a(keys)
-    out["murmur64a_ns_per_key"] = round((time.time() - t0) / len(keys) * 1e9, 1)
+    best = None
+    for _ in range(2):
+        t0 = time.time()
+        murmur64a(keys)
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    out["murmur64a_ns_per_key"] = round(best / len(keys) * 1e9, 1)
 
     for packed in (False, True):
         for cbits in (0, 15):

@@ -134,6 +134,31 @@ def test_sharded_checkpoint_resume(spark, web_pages):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def test_annotate_via_shard_table_matches_broadcast(spark, web_pages):
+    """The no-broadcast cogroup lookup must agree with the broadcast
+    path: same membership, same counts, absents rejected."""
+    from qfspark.lookup import annotate_via_shard_table
+
+    cfg = QFConfig(counter_bits=16, hash_name="xxhash64")
+    shards_df = build_sharded_qf(web_pages, "url", shard_bits=3, config=cfg)
+    shards_df = shards_df.cache()
+    probes = web_pages.select("url").union(
+        web_pages.select(F.concat(F.col("url"), F.lit("#nope")).alias("url"))
+    )
+    via_table = {
+        r.url: (r.qf_seen, r.qf_count)
+        for r in annotate_via_shard_table(probes, "url", shards_df).collect()
+    }
+    sharded = load_sharded_qf(shards_df)
+    via_bcast = {
+        r.url: (r.qf_seen, r.qf_count)
+        for r in annotate(probes, "url", sharded).collect()
+    }
+    assert via_table == via_bcast
+    assert all(v == (True, 1) for u, v in via_table.items() if not u.endswith("#nope"))
+    assert all(v == (False, 0) for u, v in via_table.items() if u.endswith("#nope"))
+
+
 def test_tree_merge_equals_driver_merge(spark, web_pages):
     cfg = QFConfig(counter_bits=16)
     direct = build_qf(web_pages.repartition(16), "url", config=cfg)

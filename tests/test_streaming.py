@@ -16,6 +16,65 @@ from qfspark.streaming import load_stream_state, stream_build_sharded
 from .conftest import SF_DIR
 
 
+def test_windowed_key_counts_with_watermark(spark):
+    """Event-time tumbling windows + watermark: counts per (window, user)
+    in append mode must equal the batch groupBy over the same data for
+    windows the watermark has closed."""
+    import os
+
+    from qfspark.streaming import windowed_key_counts
+
+    tmp = tempfile.mkdtemp(prefix="qfwin_")
+    src = f"{tmp}/src"
+    try:
+        ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+            "ts", F.col("user_id").cast("string").alias("user")
+        )
+        os.makedirs(src, exist_ok=True)
+        ev.toPandas().to_parquet(
+            f"{src}/all.parquet", coerce_timestamps="us",
+            allow_truncated_timestamps=True,
+        )
+
+        stream = spark.readStream.schema("ts timestamp, user string").parquet(src)
+        windowed = windowed_key_counts(stream, "ts", "user",
+                                       window="1 hour", watermark="1 minute")
+        q = (
+            windowed.writeStream.format("memory")
+            .queryName("win_counts")
+            .outputMode("append")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(240)
+        got = {
+            (r.window_start, r.key): r.cnt
+            for r in spark.sql("SELECT * FROM win_counts").collect()
+        }
+        want = {
+            (r.ws, r.user): r.cnt
+            for r in ev.groupBy(
+                F.window("ts", "1 hour").alias("w"), "user"
+            )
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(F.col("w.start").alias("ws"), "user", "cnt")
+            .collect()
+        }
+        # append mode emits only watermark-closed windows; everything
+        # emitted must match the batch result exactly
+        assert got, "no windows emitted"
+        for k, v in got.items():
+            assert want[k] == v, k
+        # and the last (unclosed) window is the only thing withheld
+        missing = set(want) - set(got)
+        if missing:
+            max_start = max(ws for ws, _ in want)
+            assert all(ws == max_start for ws, _ in missing)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def test_stream_matches_batch(spark):
     tmp = tempfile.mkdtemp(prefix="qfstream_")
     src = f"{tmp}/src"
