@@ -265,6 +265,28 @@ class ShardedQF:
 
         return self.lookup_hashes(hash_bytes(keys, self.hash_name))
 
+    def to_qf(self) -> QF:
+        """Collapse all shards into one monolithic QF (reconstructing the
+        original hashes: shard id supplies the top bits). For export /
+        interop at cardinalities that fit one machine."""
+        if not self.shards:
+            return QF(QFConfig(counter_bits=self.counter_bits,
+                               hash_name=self.hash_name))
+        sb = np.uint64(self.shard_bits)
+        hvs, cnts = [], []
+        for s in sorted(self.shards):
+            qf = self.shards[s]
+            hv, counts = qf.decode(sort=True)
+            orig = (hv >> sb) | (np.uint64(s) << (np.uint64(64) - sb)) if self.shard_bits else hv
+            hvs.append(orig)
+            if counts is not None:
+                cnts.append(counts)
+        hv = np.concatenate(hvs)
+        counts = np.concatenate(cnts) if cnts else None
+        # shards own disjoint ascending hash ranges -> hv is sorted unique
+        cfg = QFConfig(counter_bits=self.counter_bits, hash_name=self.hash_name)
+        return QF.from_hashes(hv, counts, cfg, assume_unique=True)
+
     def contains(self, key) -> bool:
         f, _ = self.lookup_keys([key])
         return bool(f[0])

@@ -19,7 +19,7 @@ from __future__ import annotations
 import argparse
 import sys
 
-from .disk import open_readonly, read_header_from_path, save
+from .disk import open_any, read_header_from_path, save
 from .kernel import QF
 from .sizing import QFConfig
 
@@ -57,13 +57,25 @@ def cmd_build(args) -> int:
         with open(args.input, "r", encoding="utf-8") as f:
             keys = [line.rstrip("\n") for line in f if line.strip()]
         qf = QF.from_keys(keys, config=cfg)
-    n = save(qf, args.out)
+    if args.gqf:
+        from .serde import qf_to_gqf_bytes
+
+        payload = qf_to_gqf_bytes(qf)
+        with open(args.out, "wb") as f:
+            f.write(payload)
+        n = len(payload)
+    else:
+        n = save(qf, args.out)
     print(f"wrote {args.out}: {len(qf)} entries, q_bits={qf.q_bits}, {n} bytes")
     return 0
 
 
 def cmd_lookup(args) -> int:
-    qf = open_readonly(args.filter)
+    try:
+        qf = open_any(args.filter, hash_name=args.hash)
+    except FileNotFoundError:
+        print(f"error: no such filter file: {args.filter}", file=sys.stderr)
+        return 2
     found, counts = qf.lookup_keys(args.keys)
     status = 0
     for key, f, c in zip(args.keys, found.tolist(), counts.tolist()):
@@ -79,7 +91,21 @@ def cmd_lookup(args) -> int:
 
 
 def cmd_describe(args) -> int:
-    h = read_header_from_path(args.filter)
+    try:
+        h = read_header_from_path(args.filter)
+    except ValueError:
+        # go-qfext wire format: describe via full load
+        qf = open_any(args.filter, hash_name=args.hash)
+        h = {
+            "format": "go-qfext",
+            "version": 4,
+            "bit_packed": qf.config.bit_packed,
+            "q_bits": qf.q_bits,
+            "r_bits": qf.r_bits,
+            "counter_bits": qf.config.counter_bits,
+            "entries": qf.entries,
+            "hash_name": f"{args.hash} (assumed; gqf format carries none)",
+        }
     for k, v in h.items():
         print(f"{k:14s} {v}")
     cfg = QFConfig(
@@ -106,15 +132,20 @@ def main(argv=None) -> int:
     b.add_argument("--expected-entries", type=int, default=0)
     b.add_argument("--spark", action="store_true")
     b.add_argument("--master", default="local[*]")
+    b.add_argument("--gqf", action="store_true",
+                   help="write the go-qfext wire format instead of native")
     b.set_defaults(fn=cmd_build)
 
     lk = sub.add_parser("lookup", help="probe keys against a filter file")
     lk.add_argument("filter")
     lk.add_argument("keys", nargs="+")
+    lk.add_argument("--hash", default="murmur64a",
+                    help="hash to assume for go-qfext-format files")
     lk.set_defaults(fn=cmd_lookup)
 
     d = sub.add_parser("describe", help="print filter file metadata")
     d.add_argument("filter")
+    d.add_argument("--hash", default="murmur64a")
     d.set_defaults(fn=cmd_describe)
 
     args = p.parse_args(argv)

@@ -30,6 +30,21 @@ def save(qf: QF, path: str) -> int:
     return len(payload)
 
 
+def open_any(path: str, hash_name: str = "murmur64a") -> QF:
+    """Open a filter file in either the native format (memory-mapped,
+    zero-load) or the go-qfext wire format (fully loaded; the Go format
+    carries no hash identifier, so ``hash_name`` applies — the reference
+    itself assumes murmur, disk.go:69-70)."""
+    with open(path, "rb") as f:
+        magic = f.read(4)
+    if magic == _MAGIC:
+        return open_readonly(path)
+    from .serde import qf_from_gqf_bytes
+
+    with open(path, "rb") as f:
+        return qf_from_gqf_bytes(f.read(), hash_name=hash_name)
+
+
 def read_header_from_path(path: str) -> dict:
     """Peek header only (reference ReadHeaderFromPath, serialize.go:38-49)."""
     from .serde import read_header

@@ -245,7 +245,10 @@ class QF:
             e = np.zeros(0, dtype=U64)
             return (e, e.copy() if self.storage is not None else None)
         all_ix = np.arange(self.size, dtype=np.int64)
-        sv = self.filter.gather(all_ix)
+        if isinstance(self.filter, UnpackedVector):
+            sv = self.filter.words  # direct view; read-only use below
+        else:
+            sv = self.filter.gather(all_ix)
         used = (sv & U64(_META)) != 0
         empties = np.flatnonzero(~used)
         if empties.size == 0:

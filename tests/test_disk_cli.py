@@ -55,6 +55,53 @@ def _cli(*argv):
     )
 
 
+def test_open_any_both_formats(tmp_path):
+    from qfspark.disk import open_any
+    from qfspark.serde import qf_to_gqf_bytes
+
+    qf = QF.from_keys(TEST_STRINGS, config=QFConfig(counter_bits=8))
+    native = str(tmp_path / "n.qf")
+    gqf = str(tmp_path / "g.qf")
+    save(qf, native)
+    with open(gqf, "wb") as f:
+        f.write(qf_to_gqf_bytes(qf))
+    for path in (native, gqf):
+        ro = open_any(path)
+        assert ro.entries == qf.entries
+        assert ro.contains(TEST_STRINGS[0])
+        assert not ro.contains("definitely-not-present-xyz")
+
+
+def test_sharded_to_qf_roundtrip(spark=None):
+    import numpy as np
+
+    from qfspark.build import ShardedQF
+
+    keys = [f"key-{i}" for i in range(5000)] + ["dup"] * 7
+    cfg = QFConfig(counter_bits=16)
+    direct = QF.from_keys(keys, config=cfg)
+    # build a sharded filter by hand: route murmur hashes by top 3 bits
+    from qfspark.hashing import murmur64a
+
+    hv = murmur64a(keys)
+    sb = np.uint64(3)
+    shards = {}
+    for s in range(8):
+        mask = (hv >> np.uint64(61)) == s
+        if not mask.any():
+            continue
+        shards[s] = QF.from_hashes(hv[mask] << sb, None, cfg)
+    sharded = ShardedQF(3, shards)
+    assert sharded.entries == direct.entries
+    f, c = sharded.lookup_keys(["dup", "key-42", "absent"])
+    assert list(f) == [True, True, False]
+    assert c[0] == 7 and c[1] == 1
+    merged = sharded.to_qf()
+    if merged.q_bits != direct.q_bits:
+        merged.resize(direct.q_bits)
+    assert merged.to_bytes() == direct.to_bytes()
+
+
 def test_cli_build_lookup_describe(tmp_path):
     lines = tmp_path / "keys.txt"
     lines.write_text("alpha\nbeta\ngamma\nalpha\n")
@@ -76,3 +123,17 @@ def test_cli_build_lookup_describe(tmp_path):
     r = _cli("describe", out)
     assert r.returncode == 0, r.stderr
     assert "entries" in r.stdout and "bits configured for quotient" in r.stdout
+
+    # go-qfext wire-format export + reopen through the same CLI
+    gout = str(tmp_path / "g.qf")
+    r = _cli("build", gout, "--input", str(lines), "--counter-bits", "8", "--gqf")
+    assert r.returncode == 0, r.stderr
+    r = _cli("lookup", gout, "alpha")
+    assert r.returncode == 0 and "alpha: present (count=2)" in r.stdout
+    r = _cli("describe", gout)
+    assert r.returncode == 0 and "go-qfext" in r.stdout
+
+    # missing file -> clean error, exit 2
+    r = _cli("lookup", str(tmp_path / "missing.qf"), "x")
+    assert r.returncode == 2
+    assert "no such filter file" in r.stderr
