@@ -370,7 +370,9 @@ def build_sharded_qf(
     done: set[int] = set()
     if checkpoint_path and resume:
         try:
-            existing = spark.read.parquet(checkpoint_path)
+            from .sources import read_table
+
+            existing = read_table(spark, checkpoint_path)
             done = {int(r.shard) for r in existing.select("shard").distinct().collect()}
         except Exception:
             done = set()
@@ -413,8 +415,10 @@ def build_sharded_qf(
     )
 
     if checkpoint_path:
-        shards_df.write.mode("append").parquet(checkpoint_path)
-        return spark.read.parquet(checkpoint_path)
+        from .sources import read_table, write_checkpoint
+
+        write_checkpoint(shards_df, checkpoint_path)
+        return read_table(spark, checkpoint_path)
     return shards_df
 
 

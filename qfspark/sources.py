@@ -1,0 +1,62 @@
+"""Table sources/sinks with format negotiation.
+
+The production input per BASELINE.json is an **Iceberg** table of
+Common-Crawl-style web pages; this sandbox has no Iceberg runtime jars,
+so the same code paths run against parquet (identical columnar layout,
+pushdown, and partition-pruning semantics — the plan-audit script
+verifies pruned ReadSchema/PushedFilters either way). All qfspark readers
+and the shard-checkpoint sink go through here, so pointing at a real
+lakehouse is a config change, not a code change.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    """True when the Iceberg Spark runtime is on the classpath."""
+    try:
+        spark._jvm.java.lang.Class.forName("org.apache.iceberg.Schema")
+        return True
+    except Exception:
+        return False
+
+
+def read_table(spark: SparkSession, location: str, fmt: str = "auto") -> DataFrame:
+    """Read a table by path or catalog identifier.
+
+    fmt='iceberg'  — catalog identifier (e.g. ``warehouse.db.web_pages``)
+    fmt='parquet'  — filesystem path
+    fmt='auto'     — iceberg when the runtime is present and the location
+                     looks like an identifier, else parquet
+    """
+    if fmt == "auto":
+        looks_ident = "/" not in location and not location.endswith(".parquet")
+        fmt = "iceberg" if (looks_ident and iceberg_available(spark)) else "parquet"
+    if fmt == "iceberg":
+        if not iceberg_available(spark):
+            raise RuntimeError(
+                "Iceberg runtime not on the classpath; add "
+                "org.apache.iceberg:iceberg-spark-runtime and a catalog "
+                "config, or use fmt='parquet'"
+            )
+        return spark.read.format("iceberg").load(location)
+    if fmt == "parquet":
+        return spark.read.parquet(location)
+    raise ValueError(f"unknown format {fmt!r}")
+
+
+def write_checkpoint(df: DataFrame, location: str, fmt: str = "auto",
+                     mode: str = "append") -> None:
+    """Write the shard-checkpoint table. Iceberg gives the production
+    properties (atomic commits, snapshot isolation for concurrent
+    resumers, time travel over build lineage); parquet append is the
+    sandbox equivalent."""
+    spark = df.sparkSession
+    if fmt == "auto":
+        fmt = "iceberg" if (iceberg_available(spark) and "/" not in location) else "parquet"
+    if fmt == "iceberg":
+        df.writeTo(location).append()
+        return
+    df.write.mode(mode).parquet(location)

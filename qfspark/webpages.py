@@ -31,7 +31,9 @@ _HTML_SUFFIX = "</p></body></html>"
 
 
 def load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from .sources import read_table
+
+    return read_table(spark, f"{sf_dir}/documents.parquet")
 
 
 def synthesize(spark: SparkSession, sf_dir: str) -> DataFrame:
