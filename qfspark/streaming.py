@@ -24,7 +24,7 @@ import os
 
 from pyspark.sql import DataFrame, functions as F
 
-from .build import DEFAULT_HASH, build_sharded_qf, load_sharded_qf
+from .build import DEFAULT_HASH, build_sharded_qf, hash_column, load_sharded_qf
 from .kernel import QF
 from .serde import qf_from_bytes, qf_to_bytes
 from .sizing import QFConfig
@@ -115,6 +115,75 @@ def stream_build_sharded(
 def load_stream_state(spark, state_path: str):
     """Load the current streaming filter state as a ShardedQF."""
     return load_sharded_qf(spark.read.parquet(os.path.join(state_path, "shards")))
+
+
+def stateful_streaming_dedup(
+    stream_df: DataFrame,
+    key_col: str,
+    n_groups: int = 64,
+    counter_bits: int = 0,
+    timeout: str = "NoTimeout",
+):
+    """Streaming first-occurrence dedup with *sketch state*: emit each key
+    the first time it is ever seen on the stream, using a quotient filter
+    per state group as the memory of the past (applyInPandasWithState).
+
+    This is the custom-stateful-operator shape the north_star points at:
+    state per group is a serialized CQF (bounded: ~9 bits/key at 2^-r
+    error instead of storing the keys), keys route to groups by hash, and
+    each micro-batch probes + inserts in one vectorized pass. Zero false
+    negatives means a duplicate is never re-emitted; a brand-new key is
+    wrongly suppressed with probability <= 2^-r.
+
+    Returns a streaming DataFrame of (key) rows — first occurrences only.
+    """
+    import numpy as np
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from .kernel import QF
+    from .sizing import QFConfig
+
+    hashed = stream_df.select(
+        F.col(key_col).alias("key"),
+        hash_column(key_col, DEFAULT_HASH).alias("h"),
+    ).withColumn("grp", F.pmod(F.col("h"), F.lit(n_groups)))
+
+    def _dedup(key, pdf_iter, state: GroupState):
+        if state.exists:
+            (blob,) = state.get
+            qf = qf_from_bytes(bytes(blob))
+        else:
+            qf = QF(QFConfig(counter_bits=counter_bits, hash_name=DEFAULT_HASH))
+        import pandas as pd
+
+        for pdf in pdf_iter:
+            if len(pdf) == 0:
+                continue
+            hv = pdf["h"].to_numpy(np.int64).view(np.uint64)
+            found, _ = qf.lookup_hashes(hv)
+            # keep only the first occurrence within the batch as well
+            cand = np.flatnonzero(~found)
+            _, first = np.unique(hv[cand], return_index=True)
+            fresh_rows = cand[np.sort(first)]
+            if len(fresh_rows):
+                new_hashes = hv[fresh_rows]
+                merged = QF.merge_many(
+                    [qf, QF.from_hashes(new_hashes, None, qf.config)]
+                ) if len(qf) else QF.from_hashes(new_hashes, None, qf.config)
+                qf = merged
+                yield pd.DataFrame({"key": pdf["key"].iloc[fresh_rows]})
+        state.update((qf_to_bytes(qf),))
+
+    from pyspark.sql.functions import pandas_udf  # noqa: F401  (import check)
+
+    return hashed.groupBy("grp").applyInPandasWithState(
+        _dedup,
+        outputStructType="key string",
+        stateStructType="filter binary",
+        outputMode="append",
+        timeoutConf=getattr(GroupStateTimeout, timeout),
+    )
 
 
 def windowed_key_counts(

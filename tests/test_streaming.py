@@ -75,6 +75,44 @@ def test_windowed_key_counts_with_watermark(spark):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def test_stateful_streaming_dedup(spark):
+    """applyInPandasWithState dedup with sketch state: across micro-batches
+    every key is emitted exactly once, on first occurrence."""
+    import os
+
+    from qfspark.streaming import stateful_streaming_dedup
+
+    tmp = tempfile.mkdtemp(prefix="qfsdedup_")
+    src = f"{tmp}/src"
+    try:
+        os.makedirs(src, exist_ok=True)
+        import pandas as pd
+
+        # batch 0: a,b,c,a ; batch 1: b,d,d,e  -> first occurrences a,b,c,d,e
+        pd.DataFrame({"k": ["a", "b", "c", "a"]}).to_parquet(f"{src}/b0.parquet")
+        pd.DataFrame({"k": ["b", "d", "d", "e"]}).to_parquet(f"{src}/b1.parquet")
+
+        stream = (
+            spark.readStream.schema("k string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        out = stateful_streaming_dedup(stream, "k", n_groups=4)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("sdedup")
+            .outputMode("append")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(240)
+        got = [r.key for r in spark.sql("SELECT * FROM sdedup").collect()]
+        assert sorted(got) == ["a", "b", "c", "d", "e"], got
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def test_stream_matches_batch(spark):
     tmp = tempfile.mkdtemp(prefix="qfstream_")
     src = f"{tmp}/src"
