@@ -58,13 +58,23 @@ def _u64(series_or_array) -> np.ndarray:
     return series_or_array.view(np.uint64)
 
 
-def hash_column(col, hash_name: str = DEFAULT_HASH) -> Column:
+def hash_column(col, hash_name: str = DEFAULT_HASH,
+                dtype: str | None = None) -> Column:
     """A Column of 64-bit hashes (as signed int64 bit patterns) of ``col``.
 
     xxhash64 runs JVM-side inside codegen; other hashes use a vectorized
     Arrow pandas UDF over the key bytes.
+
+    Keys are hashed over their *byte representation*: string and binary
+    columns as-is, everything else cast to its string rendering first —
+    so a filter built in Spark answers probes made from Python strings
+    (``qf.lookup_keys``/CLI) consistently. Pass ``dtype`` (the column's
+    Spark type name) when known; without it, non-string columns are
+    defensively cast to string.
     """
     col = F.col(col) if isinstance(col, str) else col
+    if dtype not in ("string", "binary"):
+        col = col.cast("string")
     if hash_name == "xxhash64":
         return F.xxhash64(col)
 
@@ -72,15 +82,20 @@ def hash_column(col, hash_name: str = DEFAULT_HASH) -> Column:
 
     @pandas_udf("long")
     def _hash_udf(s: pd.Series) -> pd.Series:
-        hv = hash_bytes(s.fillna("").tolist(), hash_name)
+        keys = s.tolist() if dtype == "binary" else s.fillna("").tolist()
+        hv = hash_bytes(keys, hash_name)
         return pd.Series(hv.view(np.int64))
 
-    return _hash_udf(col.cast("string"))
+    return _hash_udf(col)
+
+
+def _dtype_of(df: DataFrame, col: str) -> str:
+    return df.schema[col].dataType.typeName()
 
 
 def with_hash(df: DataFrame, col: str, hash_name: str = DEFAULT_HASH,
               out: str = HASH_COL) -> DataFrame:
-    return df.withColumn(out, hash_column(col, hash_name))
+    return df.withColumn(out, hash_column(col, hash_name, _dtype_of(df, col)))
 
 
 # ---------------------------------------------------------------------------
@@ -128,7 +143,8 @@ def build_qf(
     partials_df = _partial_hashes(hashed, config)
     n_parts = hashed.rdd.getNumPartitions()
     if n_parts > driver_merge_limit:
-        partials_df = tree_merge(partials_df, config, fanout=tree_fanout)
+        partials_df = tree_merge(partials_df, config, fanout=tree_fanout,
+                                 n_partials=n_parts)
     rows = [(bytes(r.hashes), bytes(r.counts)) for r in partials_df.collect()]
     if not rows:
         return QF(config)
@@ -169,12 +185,17 @@ def _partial_hashes(hashed: DataFrame, config: QFConfig) -> DataFrame:
     return out.withColumn("part_id", F.spark_partition_id().cast("long"))
 
 
-def tree_merge(partials_df: DataFrame, config: QFConfig, fanout: int = 64) -> DataFrame:
+def tree_merge(partials_df: DataFrame, config: QFConfig, fanout: int = 64,
+               n_partials: int | None = None) -> DataFrame:
     """Distributed tree merge of partial aggregates: repeatedly group
     ``fanout`` partials and merge them executor-side until one row
     remains. Depth = ceil(log_fanout(n)); the driver never holds more
     than one partial (the role the reference's lossless double()
-    plays in treeAggregate form, qf.go:283-301)."""
+    plays in treeAggregate form, qf.go:283-301).
+
+    ``n_partials`` (an upper bound on the partial count, e.g. the input
+    partition count) keeps the loop action-free: without it a count()
+    would force an extra full pass over the build lineage."""
     counter_bits = config.counter_bits
 
     def _merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -193,7 +214,7 @@ def tree_merge(partials_df: DataFrame, config: QFConfig, fanout: int = 64) -> Da
         )
 
     df = partials_df
-    n = df.count()
+    n = n_partials if n_partials is not None else df.count()
     while n > 1:
         df = (
             df.withColumn("part_id", (F.col("part_id") / fanout).cast("long"))
@@ -229,10 +250,12 @@ class ShardedQF:
         self.shards = shards
         names = {qf.config.hash_name for qf in shards.values()}
         cbits = {qf.config.counter_bits for qf in shards.values()}
-        if len(names) > 1 or len(cbits) > 1:
+        packed = {qf.config.bit_packed for qf in shards.values()}
+        if len(names) > 1 or len(cbits) > 1 or len(packed) > 1:
             raise ValueError("inconsistent shard configs")
         self.hash_name = names.pop() if names else DEFAULT_HASH
         self.counter_bits = cbits.pop() if cbits else 0
+        self.bit_packed = packed.pop() if packed else False
 
     @property
     def entries(self) -> int:
@@ -271,6 +294,7 @@ class ShardedQF:
         interop at cardinalities that fit one machine."""
         if not self.shards:
             return QF(QFConfig(counter_bits=self.counter_bits,
+                               bit_packed=self.bit_packed,
                                hash_name=self.hash_name))
         sb = np.uint64(self.shard_bits)
         hvs, cnts = [], []
@@ -284,7 +308,8 @@ class ShardedQF:
         hv = np.concatenate(hvs)
         counts = np.concatenate(cnts) if cnts else None
         # shards own disjoint ascending hash ranges -> hv is sorted unique
-        cfg = QFConfig(counter_bits=self.counter_bits, hash_name=self.hash_name)
+        cfg = QFConfig(counter_bits=self.counter_bits,
+                       bit_packed=self.bit_packed, hash_name=self.hash_name)
         return QF.from_hashes(hv, counts, cfg, assume_unique=True)
 
     def contains(self, key) -> bool:

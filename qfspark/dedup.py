@@ -187,9 +187,20 @@ def ngram_jaccard(
     (index-style candidate generation), never a cross product."""
     dsh = _distinct_shingles(df, col, k).cache()
     sizes = dsh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    join_src = dsh
+    if pairs is not None:
+        # candidate mode: restrict the shingle self-join to candidate
+        # members BEFORE joining — without this the LSH candidate step
+        # would save nothing (the self-join would still be all-pairs)
+        cand_ids = (
+            pairs.select(F.col("doc_a").alias("doc_id"))
+            .union(pairs.select(F.col("doc_b").alias("doc_id")))
+            .distinct()
+        )
+        join_src = dsh.join(cand_ids, "doc_id")
     inter = (
-        dsh.alias("x")
-        .join(dsh.alias("y"), "shingle")
+        join_src.alias("x")
+        .join(join_src.alias("y"), "shingle")
         .where(F.col("x.doc_id") < F.col("y.doc_id"))
         .groupBy(
             F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
@@ -313,17 +324,25 @@ def simhash_pairs(df: DataFrame, col: str = "text",
     one byte, so candidates come from an equality join on (band, byte) —
     no cross product. Verified with bit_count(xor) <= max_hamming.
     Returns (doc_a, doc_b, hamming)."""
+    # pigeonhole completeness: with (max_hamming + 1) bands, any pair
+    # within the distance bound agrees on at least one whole band
+    bands = max_hamming + 1
+    if bands > SIMHASH_BITS:
+        raise ValueError(f"max_hamming must be < {SIMHASH_BITS}")
+    width = SIMHASH_BITS // bands
     sh = simhash(df, col)
+    band_exprs = []
+    for b in range(bands):
+        lo = b * width
+        w = SIMHASH_BITS - lo if b == bands - 1 else width
+        band_exprs.append(
+            f"struct({b} AS band, CAST(shiftrightunsigned(simhash, {lo}) "
+            f"& {(1 << w) - 1} AS INT) AS byte)"
+        )
     banded = sh.select(
         "doc_id",
         "simhash",
-        F.explode(
-            F.expr(
-                "transform(sequence(0, 3), "
-                "b -> struct(b AS band, "
-                "CAST(shiftrightunsigned(simhash, b * 8) & 255 AS INT) AS byte))"
-            )
-        ).alias("bb"),
+        F.explode(F.expr("array(" + ", ".join(band_exprs) + ")")).alias("bb"),
     ).select("doc_id", "simhash", F.col("bb.band").alias("band"),
              F.col("bb.byte").alias("byte"))
     return (
@@ -341,12 +360,21 @@ def simhash_pairs(df: DataFrame, col: str = "text",
 
 
 def duckdb_simhash_pairs_sql(col: str = "text", max_hamming: int = 3) -> str:
+    bands = max_hamming + 1
+    width = SIMHASH_BITS // bands
+    cases = []
+    for b in range(bands):
+        lo = b * width
+        w = SIMHASH_BITS - lo if b == bands - 1 else width
+        cases.append(
+            f"SELECT doc_id, simhash, {b} AS band, "
+            f"CAST((simhash >> {lo}) & {(1 << w) - 1} AS INT) AS byte FROM sh"
+        )
+    banded = " UNION ALL ".join(cases)
     return f"""
         WITH sh AS ({duckdb_simhash_sql(col)}),
         banded AS (
-            SELECT doc_id, simhash, b AS band,
-                   CAST((simhash >> (b * 8)) & 255 AS INT) AS byte
-            FROM sh, (SELECT unnest(range(0, 4)) AS b)
+            {banded}
         )
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
                bit_count(xor(a.simhash, b.simhash)) AS hamming

@@ -13,7 +13,8 @@ probe cost.
 
 from __future__ import annotations
 
-import uuid
+import hashlib
+from collections import OrderedDict
 
 import numpy as np
 import pandas as pd
@@ -21,12 +22,29 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.functions import pandas_udf
 
-from .build import DEFAULT_HASH, ShardedQF, hash_column
+from .build import DEFAULT_HASH, ShardedQF, _dtype_of, hash_column
 from .kernel import QF
 from .serde import qf_from_bytes, qf_to_bytes
 
-# per-executor-process cache: broadcast id -> deserialized filter object
-_FILTER_CACHE: dict[int, object] = {}
+# per-executor-process cache: payload digest -> deserialized filter.
+# Keyed by CONTENT (not per-call id) so repeated annotate() calls with the
+# same filter reuse one deserialized copy, and bounded so long-running
+# executors don't accumulate dead filters.
+_FILTER_CACHE: "OrderedDict[str, object]" = OrderedDict()
+_FILTER_CACHE_MAX = 4
+
+
+def _payload_digest(payload: tuple) -> str:
+    h = hashlib.sha1()
+    h.update(payload[0].encode())
+    if payload[0] == "qf":
+        h.update(payload[1])
+    else:
+        h.update(str(payload[1]).encode())
+        for s in sorted(payload[2]):
+            h.update(str(s).encode())
+            h.update(payload[2][s])
+    return h.hexdigest()
 
 
 def _serialize_filter(qf) -> tuple:
@@ -70,22 +88,27 @@ def annotate(
     members."""
     spark = df.sparkSession
     hash_name = qf.config.hash_name if isinstance(qf, QF) else qf.hash_name
-    bc = spark.sparkContext.broadcast(_serialize_filter(qf))
-    bc_id = uuid.uuid4().hex  # per-annotate cache key for executor processes
+    payload = _serialize_filter(qf)
+    digest = _payload_digest(payload)
+    bc = spark.sparkContext.broadcast(payload)
 
     @pandas_udf("struct<seen: boolean, cnt: long>")
     def _probe(h: pd.Series) -> pd.DataFrame:
-        flt = _FILTER_CACHE.get(bc_id)
+        flt = _FILTER_CACHE.get(digest)
         if flt is None:
             flt = _deserialize_filter(bc.value)
-            _FILTER_CACHE[bc_id] = flt
+            _FILTER_CACHE[digest] = flt
+            while len(_FILTER_CACHE) > _FILTER_CACHE_MAX:
+                _FILTER_CACHE.popitem(last=False)
+        else:
+            _FILTER_CACHE.move_to_end(digest)
         hv = h.to_numpy(dtype=np.int64).view(np.uint64)
         found, counts = flt.lookup_hashes(hv)
         return pd.DataFrame(
             {"seen": found, "cnt": counts.astype(np.int64)}
         )
 
-    probe_struct = _probe(hash_column(col, hash_name))
+    probe_struct = _probe(hash_column(col, hash_name, _dtype_of(df, col)))
     return df.withColumn("_qf_probe", probe_struct).select(
         *df.columns,
         F.col("_qf_probe.seen").alias(seen_col),
@@ -113,10 +136,11 @@ def annotate_via_shard_table(
     """
     first = shards_df.select("shard_bits", "hash_name").limit(1).collect()[0]
     sb, hash_name = int(first.shard_bits), first.hash_name
+    key_dtype = df.schema[col].dataType.simpleString()
 
     hashed = df.select(
         F.col(col).alias("_qf_key"),
-        hash_column(col, hash_name).alias("_qf_h"),
+        hash_column(col, hash_name, _dtype_of(df, col)).alias("_qf_h"),
     ).withColumn(
         "shard",
         F.shiftrightunsigned(F.col("_qf_h"), 64 - sb) if sb
@@ -126,7 +150,8 @@ def annotate_via_shard_table(
     def _probe_group(probes: pd.DataFrame, shard_rows: pd.DataFrame) -> pd.DataFrame:
         if len(probes) == 0:
             return pd.DataFrame(
-                {"_qf_key": [], seen_col: pd.Series([], dtype=bool),
+                {"_qf_key": probes["_qf_key"],
+                 seen_col: pd.Series([], dtype=bool),
                  count_col: pd.Series([], dtype="int64")}
             )
         hv = probes["_qf_h"].to_numpy(dtype=np.int64).view(np.uint64)
@@ -143,7 +168,7 @@ def annotate_via_shard_table(
              seen_col: found, count_col: counts}
         )
 
-    out_schema = f"_qf_key string, {seen_col} boolean, {count_col} long"
+    out_schema = f"_qf_key {key_dtype}, {seen_col} boolean, {count_col} long"
     probed = (
         hashed.groupBy("shard")
         .cogroup(shards_df.select("shard", "payload").groupBy("shard"))

@@ -72,13 +72,25 @@ def stream_build_sharded(
     config = config or QFConfig(hash_name=DEFAULT_HASH, counter_bits=32)
     spark = stream_df.sparkSession
     shards_path = os.path.join(state_path, "shards")
-    ids_path = os.path.join(state_path, "batch_ids.json")
+    # processed batch ids live INSIDE the shard directory (underscore
+    # prefix: ignored by parquet readers, like _SUCCESS) so the directory
+    # rename commits the merged table and its batch-id record atomically —
+    # a crash at any point leaves either the old state (batch unrecorded,
+    # safely reprocessed against the old table) or the new state (batch
+    # recorded). Local-filesystem semantics; a lakehouse deployment gets
+    # the same atomicity from Iceberg transactional commits (sources.py).
+    _IDS = "_batch_ids.json"
 
     def _seen_ids() -> set:
-        if os.path.exists(ids_path):
-            with open(ids_path) as f:
+        p = os.path.join(shards_path, _IDS)
+        if os.path.exists(p):
+            with open(p) as f:
                 return set(json.load(f))
         return set()
+
+    def _write_ids(dirpath: str, seen: set) -> None:
+        with open(os.path.join(dirpath, _IDS), "w") as f:
+            json.dump(sorted(seen), f)
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         seen = _seen_ids()
@@ -88,20 +100,21 @@ def stream_build_sharded(
             batch_df, col, shard_bits=shard_bits, config=config,
             checkpoint_path=None,
         )
-        if os.path.exists(shards_path):
-            next_path = os.path.join(state_path, "shards_next")
-            _merge_shard_tables(spark, shards_path, new_shards, next_path)
-            old = os.path.join(state_path, "shards_old")
-            os.rename(shards_path, old)
-            os.rename(next_path, shards_path)
-            import shutil
+        next_path = os.path.join(state_path, "shards_next")
+        import shutil
 
-            shutil.rmtree(old, ignore_errors=True)
+        shutil.rmtree(next_path, ignore_errors=True)
+        if os.path.exists(shards_path):
+            _merge_shard_tables(spark, shards_path, new_shards, next_path)
         else:
-            new_shards.write.mode("overwrite").parquet(shards_path)
-        seen.add(batch_id)
-        with open(ids_path, "w") as f:
-            json.dump(sorted(seen), f)
+            new_shards.write.mode("overwrite").parquet(next_path)
+        _write_ids(next_path, seen | {batch_id})
+        old = os.path.join(state_path, "shards_old")
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.exists(shards_path):
+            os.rename(shards_path, old)
+        os.rename(next_path, shards_path)
+        shutil.rmtree(old, ignore_errors=True)
 
     writer = stream_df.writeStream.foreachBatch(_process).outputMode("update")
     writer = writer.option(
@@ -144,9 +157,12 @@ def stateful_streaming_dedup(
     from .kernel import QF
     from .sizing import QFConfig
 
+    key_dtype = stream_df.schema[key_col].dataType.simpleString()
     hashed = stream_df.select(
         F.col(key_col).alias("key"),
-        hash_column(key_col, DEFAULT_HASH).alias("h"),
+        hash_column(
+            key_col, DEFAULT_HASH, stream_df.schema[key_col].dataType.typeName()
+        ).alias("h"),
     ).withColumn("grp", F.pmod(F.col("h"), F.lit(n_groups)))
 
     def _dedup(key, pdf_iter, state: GroupState):
@@ -179,7 +195,7 @@ def stateful_streaming_dedup(
 
     return hashed.groupBy("grp").applyInPandasWithState(
         _dedup,
-        outputStructType="key string",
+        outputStructType=f"key {key_dtype}",
         stateStructType="filter binary",
         outputMode="append",
         timeoutConf=getattr(GroupStateTimeout, timeout),

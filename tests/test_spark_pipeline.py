@@ -171,6 +171,37 @@ def test_tree_merge_equals_driver_merge(spark, web_pages):
     assert qf_to_bytes(direct) == qf_to_bytes(forced_tree)
 
 
+def test_nonstring_key_column_interops_with_python_probes(spark):
+    """A filter built on a bigint column must answer probes made from the
+    key's string rendering (CLI / lookup_keys) — the hash is taken over
+    the string representation for non-string/binary columns."""
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select("user_id")
+    qf = build_qf(ev, "user_id", config=QFConfig(counter_bits=32, hash_name="xxhash64"))
+    users = [r.user_id for r in ev.distinct().collect()]
+    f, c = qf.lookup_keys([str(u) for u in users])
+    assert bool(f.all()), "bigint-built filter must match string probes"
+    exact = {str(r.user_id): r.cnt for r in
+             ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    for u, cnt in zip(users, c.tolist()):
+        assert exact[str(u)] == cnt
+    fa, _ = qf.lookup_keys(["99999991", "99999992"])
+    assert int(fa.sum()) == 0
+
+
+def test_annotate_via_shard_table_bigint_key(spark):
+    from qfspark.lookup import annotate_via_shard_table
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select("user_id")
+    shards = build_sharded_qf(ev, "user_id", shard_bits=2,
+                              config=QFConfig(counter_bits=32, hash_name="xxhash64"))
+    got = annotate_via_shard_table(ev.distinct(), "user_id", shards).collect()
+    assert got and all(r.qf_seen for r in got)
+    exact = {r.user_id: r.cnt for r in
+             ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    for r in got:
+        assert r.qf_count == exact[r.user_id]
+
+
 def test_shingle_expr_matches_python(spark):
     texts = [
         "the quick brown fox jumps",

@@ -6,6 +6,7 @@ import duckdb
 import numpy as np
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from qfspark import dedup, multimodal, similarity, textops
 
@@ -112,6 +113,25 @@ def test_simhash_parity(spark, docs, con):
         con.sql(dedup.duckdb_simhash_sql()).df(),
         ["doc_id"],
     )
+
+
+def test_simhash_pairs_complete_at_any_hamming(spark, docs):
+    """Pigeonhole banding must be COMPLETE for the requested distance:
+    banded candidates + verify == brute-force all-pairs filter."""
+    sub = docs.limit(120).cache()
+    got = dedup.simhash_pairs(sub, max_hamming=5).toPandas()
+    sh = dedup.simhash(sub)
+    brute = (
+        sh.alias("a").join(sh.alias("b"),
+                           F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                F.expr("bit_count(a.simhash ^ b.simhash)").alias("hamming"))
+        .where("hamming <= 5")
+        .toPandas()
+    )
+    key = lambda d: set(map(tuple, d[["doc_a", "doc_b", "hamming"]].to_numpy()))
+    assert key(got) == key(brute)
 
 
 def test_simhash_pairs_parity(spark, docs, con):
