@@ -7,8 +7,9 @@ Arrow pandas UDF probe — constant memory per executor, no shuffle of the
 probed table, no join.
 
 The deserialized filter (with its probe index) is cached per executor
-process keyed by broadcast id, so the Arrow batches pay only the numpy
-probe cost.
+process keyed by a content digest (LRU-bounded), so repeated lookups
+against the same filter pay the deserialize + index cost once and the
+Arrow batches pay only the numpy probe cost.
 """
 
 from __future__ import annotations
