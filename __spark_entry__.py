@@ -139,6 +139,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": lambda s, d: dedup.embedding_near_dup(
             _emb(s, d), threshold=0.35
         ),
+        # composed cleaning pipeline: quality -> exact dedup -> near-dup
+        "clean_corpus": lambda s, d: dedup.clean_corpus(
+            _docs(s, d), near_dup_jaccard=0.3
+        ),
         "quality_filter": lambda s, d: textops.quality_filter(
             _docs(s, d), min_tokens=30
         ).select("doc_id", "lang", "source"),
@@ -244,6 +248,7 @@ def oracle_sql() -> dict[str, str]:
                    'image' AS kind
             FROM ({wp})
         """,
+        "clean_corpus": dedup.duckdb_clean_corpus_sql(near_dup_jaccard=0.3),
         "quality_filter": f"""
             WITH stats AS ({textops.duckdb_text_stats_sql()})
             SELECT d.doc_id, d.lang, d.source

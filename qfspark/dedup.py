@@ -247,6 +247,70 @@ def duckdb_ngram_jaccard_sql(col: str = "text", k: int = 3,
 
 
 # ---------------------------------------------------------------------------
+# composed cleaning pipeline
+# ---------------------------------------------------------------------------
+
+def clean_corpus(
+    df: DataFrame,
+    col: str = "text",
+    min_tokens: int = 20,
+    k: int = 3,
+    near_dup_jaccard: float = 0.6,
+) -> DataFrame:
+    """The composed training-data cleaning pass: quality gate -> exact
+    dedup (keep min doc_id per content hash) -> near-dup removal (drop
+    the higher doc_id of every pair with shingle Jaccard >= threshold).
+    Returns the surviving (doc_id) rows.
+
+    Each stage is the scale-shaped operator defined above; the
+    composition is what a Common-Crawl-style corpus actually runs before
+    training."""
+    from .textops import quality_filter
+
+    quality = quality_filter(df, col, min_tokens=min_tokens).select("doc_id", col)
+    keep_exact = (
+        exact_dedup(quality, col)
+        .select(F.col("keep_doc_id").alias("doc_id"))
+    )
+    survivors = quality.join(keep_exact, "doc_id")
+    near = minhash_lsh_pairs(
+        survivors, col, k=k, threshold=near_dup_jaccard
+    ).select(F.col("doc_b").alias("doc_id")).distinct()
+    return (
+        survivors.join(near, "doc_id", "left_anti").select("doc_id")
+    )
+
+
+def duckdb_clean_corpus_sql(
+    col: str = "text", min_tokens: int = 20, k: int = 3,
+    near_dup_jaccard: float = 0.6,
+) -> str:
+    toks = f"string_split({col}, ' ')"
+    pairs = duckdb_minhash_lsh_pairs_sql(col, k, threshold=near_dup_jaccard)
+    # the pairs CTE reads from `documents`; rebase it onto the quality-
+    # filtered + exact-deduped survivor set
+    pairs = pairs.replace("FROM documents", "FROM survivors")
+    return f"""
+        WITH quality AS (
+            SELECT doc_id, {col} FROM documents
+            WHERE len({toks}) >= {min_tokens} AND len({toks}) <= 100000
+        ),
+        keep_exact AS (
+            SELECT MIN(doc_id) AS doc_id FROM quality GROUP BY md5({col})
+        ),
+        survivors AS (
+            SELECT q.doc_id, q.{col} FROM quality q
+            JOIN keep_exact e ON q.doc_id = e.doc_id
+        ),
+        near AS (
+            SELECT DISTINCT doc_b AS doc_id FROM ({pairs})
+        )
+        SELECT s.doc_id FROM survivors s
+        WHERE s.doc_id NOT IN (SELECT doc_id FROM near)
+    """
+
+
+# ---------------------------------------------------------------------------
 # embedding-cosine near-dup
 # ---------------------------------------------------------------------------
 

@@ -115,6 +115,14 @@ def test_simhash_parity(spark, docs, con):
     )
 
 
+def test_clean_corpus_parity(spark, docs, con):
+    _compare(
+        dedup.clean_corpus(docs, near_dup_jaccard=0.3),
+        con.sql(dedup.duckdb_clean_corpus_sql(near_dup_jaccard=0.3)).df(),
+        ["doc_id"],
+    )
+
+
 def test_simhash_pairs_complete_at_any_hamming(spark, docs):
     """Pigeonhole banding must be COMPLETE for the requested distance:
     banded candidates + verify == brute-force all-pairs filter."""
