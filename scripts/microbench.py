@@ -23,11 +23,11 @@ from qfspark.sizing import QFConfig
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
     rng = np.random.RandomState(7)
-    hashes = rng.randint(0, 2**63, size=n, dtype=np.int64).view(np.uint64)
+    hashes = rng.randint(-2**63, 2**63, size=n, dtype=np.int64).view(np.uint64)
     hashes = np.unique(hashes)
     n = len(hashes)
     probes_hit = hashes[rng.randint(0, n, size=n)]
-    probes_miss = rng.randint(0, 2**63, size=n, dtype=np.int64).view(np.uint64)
+    probes_miss = rng.randint(-2**63, 2**63, size=n, dtype=np.int64).view(np.uint64)
 
     out = {"n_keys": n}
 
