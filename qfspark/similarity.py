@@ -190,6 +190,29 @@ def lsh_cosine_topk(df: DataFrame, id_col: str = "vec_id",
     )
 
 
+def ann_recall(exact_topk: DataFrame, approx_topk: DataFrame,
+               k: int | None = None) -> dict:
+    """Recall metrics of an approximate top-k result against the exact
+    one: recall@k (fraction of exact neighbors recovered) and recall@1.
+    The quality dial for lsh_cosine_topk: more tables/planes -> higher
+    recall at higher candidate cost."""
+    e = exact_topk.select("query_id", "neighbor_id", "rank")
+    a = approx_topk.select("query_id", "neighbor_id")
+    if k is not None:
+        e = e.where(F.col("rank") <= k)
+    hits = e.join(a, ["query_id", "neighbor_id"]).count()
+    total = e.count()
+    e1 = e.where("rank = 1")
+    hits1 = e1.join(a, ["query_id", "neighbor_id"]).count()
+    total1 = e1.count()
+    return {
+        "recall_at_k": round(hits / total, 4) if total else None,
+        "recall_at_1": round(hits1 / total1, 4) if total1 else None,
+        "exact_pairs": total,
+        "recovered": hits,
+    }
+
+
 def duckdb_cosine_topk_sql(id_col: str = "vec_id", col: str = "embedding",
                            k: int = 10) -> str:
     dot = "list_dot_product(q.emb, c.emb)"

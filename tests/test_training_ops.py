@@ -191,15 +191,17 @@ def test_cosine_topk_deterministic_and_sane(spark):
 def test_lsh_topk_recall_vs_exact(spark):
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").limit(200)
     emb.cache()
-    exact = similarity.cosine_topk(emb, k=3).toPandas()
-    approx = similarity.lsh_cosine_topk(emb, k=3, planes=4).toPandas()
-    # recall of rank-1 neighbor: LSH with 4 planes on clustered synthetic
-    # embeddings should recover a decent fraction
-    e1 = exact[exact["rank"] == 1].set_index("query_id")["neighbor_id"]
-    a1 = approx[approx["rank"] == 1].set_index("query_id")["neighbor_id"]
-    joined = e1.to_frame("e").join(a1.to_frame("a"), how="left")
-    recall = (joined["e"] == joined["a"]).mean()
-    assert recall > 0.3, recall
+    exact = similarity.cosine_topk(emb, k=3)
+    approx = similarity.lsh_cosine_topk(emb, k=3, planes=4, tables=4)
+    m = similarity.ann_recall(exact, approx, k=3)
+    # these synthetic 64-dim embeddings have near-orthogonal neighbors —
+    # hard for sign-LSH; the substantive check is the monotone quality dial
+    assert m["recall_at_1"] is not None and m["recall_at_1"] > 0.3, m
+    assert m["recall_at_k"] > 0.3, m
+    # more tables must not lower recall (monotone quality dial)
+    approx8 = similarity.lsh_cosine_topk(emb, k=3, planes=4, tables=8)
+    m8 = similarity.ann_recall(exact, approx8, k=3)
+    assert m8["recall_at_k"] >= m["recall_at_k"] - 1e-9, (m, m8)
 
 
 def test_quality_filter(spark, docs):
