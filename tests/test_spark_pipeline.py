@@ -110,6 +110,28 @@ def test_sharded_build_and_lookup(spark, web_pages):
     assert all(r.qf_seen and r.qf_count == 1 for r in got)
 
 
+def test_salted_pre_agg_equals_local(spark):
+    """The explicit two-stage salted aggregation path must produce
+    byte-identical shards to the default local-combiner path, including
+    under heavy single-key skew."""
+    hot = spark.range(0, 5000).select(
+        F.when(F.col("id") % 3 == 0, F.lit("HOT-KEY"))
+        .otherwise(F.concat(F.lit("k"), F.col("id"))).alias("key")
+    )
+    cfg = QFConfig(counter_bits=32, hash_name="xxhash64")
+    a = {r.shard: bytes(r.payload) for r in
+         build_sharded_qf(hot, "key", shard_bits=2, config=cfg,
+                          pre_agg="local").collect()}
+    b = {r.shard: bytes(r.payload) for r in
+         build_sharded_qf(hot, "key", shard_bits=2, config=cfg,
+                          pre_agg="salted").collect()}
+    assert a == b
+    sharded = load_sharded_qf(
+        build_sharded_qf(hot, "key", shard_bits=2, config=cfg, pre_agg="salted")
+    )
+    assert sharded.lookup("HOT-KEY")[1] == 5000 // 3 + (1 if 5000 % 3 else 0)
+
+
 def test_sharded_checkpoint_resume(spark, web_pages):
     tmp = tempfile.mkdtemp(prefix="qfshards_")
     path = f"{tmp}/shards"
