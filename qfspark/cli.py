@@ -90,6 +90,19 @@ def cmd_lookup(args) -> int:
     return status
 
 
+def cmd_merge(args) -> int:
+    """Merge any number of filter files into one (associative lossless
+    merge; counters add). Inputs may be native or go-qfext format."""
+    filters = [open_any(p, hash_name=args.hash) for p in args.inputs]
+    merged = QF.merge_many(filters)
+    n = save(merged, args.out)
+    print(
+        f"wrote {args.out}: {len(merged)} entries from {len(filters)} filters, "
+        f"q_bits={merged.q_bits}, {n} bytes"
+    )
+    return 0
+
+
 def cmd_describe(args) -> int:
     try:
         h = read_header_from_path(args.filter)
@@ -142,6 +155,13 @@ def main(argv=None) -> int:
     lk.add_argument("--hash", default="murmur64a",
                     help="hash to assume for go-qfext-format files")
     lk.set_defaults(fn=cmd_lookup)
+
+    m = sub.add_parser("merge", help="merge filter files (counters add)")
+    m.add_argument("out")
+    m.add_argument("inputs", nargs="+")
+    m.add_argument("--hash", default="murmur64a",
+                   help="hash to assume for go-qfext-format inputs")
+    m.set_defaults(fn=cmd_merge)
 
     d = sub.add_parser("describe", help="print filter file metadata")
     d.add_argument("filter")

@@ -137,3 +137,21 @@ def test_cli_build_lookup_describe(tmp_path):
     r = _cli("lookup", str(tmp_path / "missing.qf"), "x")
     assert r.returncode == 2
     assert "no such filter file" in r.stderr
+
+
+def test_cli_merge(tmp_path):
+    a = tmp_path / "a.txt"
+    b = tmp_path / "b.txt"
+    a.write_text("x\ny\nx\n")
+    b.write_text("y\nz\n")
+    fa, fb, out = str(tmp_path / "a.qf"), str(tmp_path / "b.qf"), str(tmp_path / "m.qf")
+    assert _cli("build", fa, "--input", str(a), "--counter-bits", "8").returncode == 0
+    assert _cli("build", fb, "--input", str(b), "--counter-bits", "8").returncode == 0
+    r = _cli("merge", out, fa, fb)
+    assert r.returncode == 0, r.stderr
+    assert "3 entries from 2 filters" in r.stdout
+    r = _cli("lookup", out, "x", "y", "z")
+    assert r.returncode == 0
+    assert "x: present (count=2)" in r.stdout
+    assert "y: present (count=2)" in r.stdout  # 1 + 1 across filters
+    assert "z: present (count=1)" in r.stdout
