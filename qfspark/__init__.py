@@ -43,3 +43,9 @@ __all__ = [
     "MAX_LOADING_FACTOR",
     "MIN_Q_BITS",
 ]
+
+# Spark-dependent modules (build, lookup, streaming, dedup, similarity,
+# textops, multimodal, webpages, sources) import pyspark and are loaded
+# on demand: `from qfspark.build import build_qf` etc. This keeps the
+# kernel importable in pyspark-free environments (CLI local builds,
+# plain-Python probing of .qf files).
