@@ -245,14 +245,14 @@ def main() -> None:
     n6m = keys6m.count()
     t0 = time.time()
     build_qf(keys6m, "key", config=QFConfig(counter_bits=32, hash_name="xxhash64"))
-    timings["cqf_build_merged_6m"] = round(time.time() - t0, 3)
+    timings[f"cqf_build_merged_{n6m // 1_000_000}m"] = round(time.time() - t0, 3)
     keys6m.unpersist()
 
     # headline: sharded checkpointed build on the scaling workload
     keys = _scaling_keys(spark, SF_DIR, SCALE_MULT, CPUS).cache()
     rows_built = keys.count()
     build_sec = _sharded_build_once(spark, keys, CPUS)
-    timings["cqf_build_sharded_48m"] = round(build_sec, 3)
+    timings[f"cqf_build_sharded_{rows_built // 1_000_000}m"] = round(build_sec, 3)
     spark.stop()
 
     scaling = {}
