@@ -288,6 +288,13 @@ class ShardedQF:
 
         return self.lookup_hashes(hash_bytes(keys, self.hash_name))
 
+    def __repr__(self) -> str:
+        return (
+            f"ShardedQF(shards={len(self.shards)}, shard_bits={self.shard_bits}, "
+            f"entries={self.entries}, counter_bits={self.counter_bits}, "
+            f"hash={self.hash_name!r})"
+        )
+
     def to_qf(self) -> QF:
         """Collapse all shards into one monolithic QF (reconstructing the
         original hashes: shard id supplies the top bits). For export /

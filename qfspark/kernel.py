@@ -674,6 +674,14 @@ class QF:
 
         return qf_from_bytes(payload)
 
+    def __repr__(self) -> str:
+        return (
+            f"QF(entries={self.entries}, q_bits={self.q_bits}, "
+            f"r_bits={self.r_bits}, counter_bits={self.config.counter_bits}, "
+            f"bit_packed={self.config.bit_packed}, "
+            f"hash={self.config.hash_name!r}, load={self.loading():.3f})"
+        )
+
     def __eq__(self, other) -> bool:
         if not isinstance(other, QF):
             return NotImplemented
