@@ -5,33 +5,77 @@ Two build strategies, both shaped for the 10^12-row design point:
 ``build_qf``  — one merged filter. Shuffle-free: each input partition
     locally pre-aggregates its hashes (numpy unique/count — the map-side
     combine) and emits one serialized partial filter; partials merge under
-    an associative slot-level merge, either on the driver (few partitions)
-    or through a distributed tree merge (``tree_merge``). This is the
-    classic mergeable-sketch UDAF shape: the only data movement is
-    tiny filter payloads, so hot-key skew cannot concentrate load — a
-    key duplicated a billion times costs one (hash, count) pair per
-    partition it appears in.
+    an associative slot-level merge through a distributed tree merge
+    (``tree_merge``) whose FINAL level also runs executor-side, so the
+    driver only receives one finished blob. This is the classic
+    mergeable-sketch UDAF shape: the only data movement is tiny filter
+    payloads, so hot-key skew cannot concentrate load — a key duplicated
+    a billion times costs one (hash, count) pair per partition it
+    appears in.
 
 ``build_sharded_qf`` — a hash-range-sharded filter collection for
-    cardinalities beyond one machine's RAM. Hashes are pre-aggregated by
-    ``groupBy(hash)`` (Spark's partial aggregation combines duplicates
-    map-side before the shuffle; ``pre_agg='salted'`` keeps an explicit
-    two-stage salted row-level aggregation for demonstration), then routed
-    by the
-    top ``shard_bits`` of the hash so each shard owns a contiguous,
+    cardinalities beyond one machine's RAM. Hashes are routed by the top
+    ``shard_bits`` of the hash so each shard owns a contiguous,
     uniformly-loaded hash range. Each shard stores ``hash << shard_bits``
     (the shard id carries the top bits — lossless, and quotients stay
     uniform within each shard's table). Shards checkpoint to a parquet
-    table with lineage metadata and builds resume by skipping shards
+    table with lineage metadata, and builds resume by skipping shards
     already present.
+
+    Four exchange strategies (``exchange=``), because the expensive step
+    at scale is *moving the hashes to their shard builder*:
+
+    ``'arrow'`` (default) — hashes stay JVM-side through routing AND
+        grouping: ``groupBy(shard).agg(collect_list(...))`` runs as a
+        codegen partial aggregation, so the shuffle moves a few fat
+        array rows per (task, shard) instead of per-key rows, and the
+        JVM->Python Arrow channel is crossed exactly once, as one fat
+        zero-copy list column per shard. Profiling on this class of
+        hardware shows the per-row Arrow channel is the #1 scaling
+        bottleneck of any mapInPandas combiner — this path removes it.
+
+    ``'storage'`` — the exchange happens through the filesystem instead
+        of the Python channel: a pure-JVM stage writes the routed hash
+        table as parquet partitioned by shard (dictionary off — random
+        hashes never repeat), then one task per shard reads its
+        partition DIRECTLY with pyarrow (multi-threaded columnar read,
+        never touching the JVM<->Python socket), builds, and writes the
+        payload sidecar. On a real cluster the spill dir is the same
+        distributed storage the checkpoint uses; the intermediate is
+        itself checkpointable lineage (stage-level resume). This is the
+        best-scaling path measured, and the default for the scaling
+        benchmark.
+
+    ``'combine'`` — the classic mapInPandas partition-local combiner:
+        per input partition, numpy sort-unique collapses duplicates
+        BEFORE any exchange and ships compact (hashes, counts) blobs.
+        Maximum map-side combining: the right choice when the duplicate
+        ratio is high (the blob exchange shrinks by the dup factor,
+        which 'arrow'/'storage' do not).
+
+    ``'salted'`` — explicit two-stage salted ``groupBy(hash, salt)``
+        row-level aggregation; demonstrates hot-key skew handling with
+        plain relational operators.
+
+    Payloads can be written as *sidecar files* (``payload_dir``): each
+    shard task writes its serialized filter to content-addressed storage
+    executor-side and the table row carries the path — at the 10^12
+    design point a shard payload is ~1 GB, which belongs in object
+    storage, not in a parquet binary cell (and not in the Arrow channel).
 
 Hashing is JVM-side (``F.xxhash64``, whole-stage codegen) for the default
 hash; murmur64a/fnv1a fall back to a vectorized Arrow pandas UDF. No
 per-row Python anywhere.
+
+NULL policy: NULL keys are dropped at build time and never match at probe
+time (a NULL is not a key; Spark's xxhash64(NULL)=seed would otherwise
+disagree with every other engine's byte-hash of an absent value).
 """
 
 from __future__ import annotations
 
+import hashlib
+import os
 import time
 from typing import Iterator
 
@@ -98,6 +142,11 @@ def with_hash(df: DataFrame, col: str, hash_name: str = DEFAULT_HASH,
     return df.withColumn(out, hash_column(col, hash_name, _dtype_of(df, col)))
 
 
+def _keys_nonnull(df: DataFrame, col: str) -> DataFrame:
+    """Build inputs drop NULL keys (see module NULL policy)."""
+    return df.select(col).where(F.col(col).isNotNull())
+
+
 # ---------------------------------------------------------------------------
 # single merged filter
 # ---------------------------------------------------------------------------
@@ -107,6 +156,12 @@ def _merge_hash_blobs(rows, counter_bits: int):
     sorted-unique pair — the decoded form of the associative slot-level
     merge (QF.merge decodes to exactly this and rebuilds)."""
     hs = [np.frombuffer(r[0], dtype="<u8") for r in rows]
+    if len(hs) == 1:
+        # single partial: already sorted-unique — skip the re-sort
+        hv = hs[0]
+        if counter_bits > 0:
+            return hv, np.frombuffer(rows[0][1], dtype="<u8")
+        return hv, None
     hv = np.concatenate(hs) if hs else np.empty(0, dtype=np.uint64)
     if counter_bits > 0:
         cs = [np.frombuffer(r[1], dtype="<u8") for r in rows]
@@ -123,23 +178,29 @@ def build_qf(
     col: str,
     config: QFConfig | None = None,
     tree_fanout: int = 64,
-    driver_merge_limit: int = 128,
+    driver_merge_limit: int = 4,
 ) -> QF:
     """Build one merged CQF over ``df[col]``.
 
     Plan shape: scan -> (column-pruned) select -> JVM hash -> mapInPandas
     local pre-aggregation (one compact sorted (hash,count) partial per
     partition — the decoded form of a partial filter) -> associative
-    merge (tree-merged executor-side above ``driver_merge_limit``
-    partials) -> one vectorized canonical bulk build.
+    executor-side tree merge down to ONE sorted-unique blob -> driver
+    does only the vectorized canonical table fill (``assume_unique``:
+    no driver-side sort, the serial tail is just the O(n) placement).
 
     No shuffle of row data; the only exchange moves partial-aggregate
     blobs (~12 bytes per distinct key). Duplicate-key skew is absorbed by
     the partition-local aggregation (map-side combine), so a key repeated
     a billion times costs one pair per partition it appears in.
+
+    ``driver_merge_limit``: at most this many partials are merged on the
+    driver (tiny inputs); above it the tree merge runs executor-side to
+    a single blob first.
     """
     config = config or QFConfig(hash_name=DEFAULT_HASH, counter_bits=32)
-    hashed = with_hash(df.select(col), col, config.hash_name).select(HASH_COL)
+    keys = _keys_nonnull(df, col)
+    hashed = with_hash(keys, col, config.hash_name).select(HASH_COL)
     partials_df = _partial_hashes(hashed, config)
     n_parts = hashed.rdd.getNumPartitions()
     if n_parts > driver_merge_limit:
@@ -330,9 +391,72 @@ class ShardedQF:
 
 _SHARD_SCHEMA = (
     "shard long, entries long, q_bits int, payload binary, "
-    "hash_name string, counter_bits int, shard_bits int, "
-    "n_rows long, build_ts double, code_version string"
+    "payload_path string, hash_name string, counter_bits int, "
+    "shard_bits int, n_rows long, build_ts double, code_version string"
 )
+
+# parquet options for hash spill tables: dictionary encoding is pure
+# overhead on effectively-unique 64-bit hashes, and per-file summary
+# metadata is dead weight at thousands of shard files
+_SPILL_WRITE_OPTS = {
+    "parquet.enable.dictionary": "false",
+    "parquet.summary.metadata.level": "NONE",
+}
+
+
+def shard_payload_bytes(row) -> bytes:
+    """The serialized filter for a shard-table row: inline ``payload``
+    bytes, or the ``payload_path`` sidecar file written executor-side."""
+    payload = row["payload"] if not hasattr(row, "payload") else row.payload
+    if payload is not None and len(payload) > 0:
+        return bytes(payload)
+    path = (row["payload_path"] if not hasattr(row, "payload_path")
+            else row.payload_path)
+    if not path:
+        raise ValueError("shard row has neither payload nor payload_path")
+    with open(path, "rb") as f:
+        return f.read()
+
+
+def _finish_shard(qf: QF, shard: int, n_rows: int, cfg: QFConfig,
+                  shard_bits: int, payload_dir: str | None) -> dict:
+    """Common tail of every shard build: serialize (inline or sidecar)
+    and produce the lineage row."""
+    blob = qf_to_bytes(qf)
+    payload, payload_path = blob, ""
+    if payload_dir:
+        digest = hashlib.sha1(blob).hexdigest()[:16]
+        payload_path = os.path.join(
+            payload_dir, f"shard_{shard:05d}_{digest}.qf")
+        tmp = payload_path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(blob)
+        os.replace(tmp, payload_path)  # content-addressed + atomic
+        payload = None
+    return {
+        "shard": shard,
+        "entries": len(qf),
+        "q_bits": qf.q_bits,
+        "payload": payload,
+        "payload_path": payload_path,
+        "hash_name": cfg.hash_name,
+        "counter_bits": cfg.counter_bits,
+        "shard_bits": shard_bits,
+        "n_rows": n_rows,
+        "build_ts": time.time(),
+        "code_version": _CODE_VERSION,
+    }
+
+
+def _routed(hashed: DataFrame, shard_bits: int) -> DataFrame:
+    """(shard, local_hash) routing columns: shard = top bits, local =
+    hash << shard_bits (lossless; quotients stay uniform per shard)."""
+    return hashed.select(
+        (F.shiftrightunsigned(F.col(HASH_COL), 64 - shard_bits) if shard_bits
+         else F.lit(0)).cast("long").alias("shard"),
+        (F.shiftleft(F.col(HASH_COL), shard_bits) if shard_bits
+         else F.col(HASH_COL)).alias("lh"),
+    )
 
 
 def build_sharded_qf(
@@ -342,62 +466,31 @@ def build_sharded_qf(
     config: QFConfig | None = None,
     checkpoint_path: str | None = None,
     resume: bool = True,
-    pre_agg: str = "local",
+    exchange: str = "arrow",
+    payload_dir: str | None = None,
+    spill_dir: str | None = None,
+    pre_agg: str | None = None,
 ) -> DataFrame:
     """Build (or resume building) a sharded CQF; returns the shard-table
-    DataFrame ``(shard, entries, q_bits, payload, lineage...)``.
+    DataFrame ``(shard, entries, q_bits, payload, payload_path,
+    lineage...)``. See the module docstring for the four ``exchange``
+    strategies and the sidecar-payload contract.
 
-    Stages (``pre_agg='local'``, the default): JVM hash -> mapInPandas
-    partition-local aggregation emitting one compact sorted
-    (hashes, counts) blob per (partition, shard) -> ONE shuffle of those
-    blobs (a few KB-MB rows, ~12 bytes per distinct key, no per-row
-    overhead) -> per-shard merge + vectorized bulk build -> checkpoint.
-    Partition-local aggregation is the combiner: duplicate-key skew
-    collapses before the exchange, the same way Spark's partial
-    aggregation would, but shipping raw little-endian numpy buffers.
-
-    ``pre_agg='salted'`` instead routes through an explicit two-stage
-    salted ``groupBy(hash, salt)`` aggregation — useful to *demonstrate*
-    skew handling with row-level exchanges; the local path already
-    absorbs any single-key skew.
-
-    With ``checkpoint_path`` set, completed shards are skipped on re-run
-    (lineage-recorded resumability) and the shard table is read back from
-    the checkpoint."""
+    With ``checkpoint_path`` set: ``resume=True`` skips shards already
+    present and appends only the missing ones; ``resume=False``
+    overwrites the checkpoint (never appends duplicates — the failure
+    mode where a stale row silently answers probes cannot occur, and
+    reads additionally keep only the newest row per shard).
+    """
+    if pre_agg is not None:  # deprecated alias from the round-1 API
+        exchange = {"local": "combine", "salted": "salted"}[pre_agg]
     config = config or QFConfig(hash_name=DEFAULT_HASH, counter_bits=32)
     spark = df.sparkSession
     sb = shard_bits
     with_counts = config.counter_bits > 0
 
-    hashed = with_hash(df.select(col), col, config.hash_name).select(HASH_COL)
-
-    if pre_agg == "salted":
-        salted = hashed.withColumn(
-            "salt", F.pmod(F.monotonically_increasing_id(), F.lit(64))
-        )
-        agg = (
-            salted.groupBy(HASH_COL, "salt")
-            .agg(F.count(F.lit(1)).alias("cnt"))
-            .groupBy(HASH_COL)
-            .agg(F.sum("cnt").alias("cnt"))
-        )
-        routed = agg.select(
-            (F.shiftrightunsigned(F.col(HASH_COL), 64 - sb) if sb
-             else F.lit(0)).cast("long").alias("shard"),
-            F.shiftleft(F.col(HASH_COL), sb).alias("local_hash"),
-            F.col("cnt"),
-        )
-        partials = routed.groupBy("shard").applyInPandas(
-            _rows_to_blob(with_counts),
-            schema="shard long, hashes binary, counts binary",
-        )
-    elif pre_agg == "local":
-        partials = hashed.mapInPandas(
-            _local_shard_blobs(sb, with_counts),
-            schema="shard long, hashes binary, counts binary",
-        )
-    else:
-        raise ValueError(f"unknown pre_agg mode {pre_agg!r}")
+    hashed = with_hash(_keys_nonnull(df, col), col,
+                       config.hash_name).select(HASH_COL)
 
     done: set[int] = set()
     if checkpoint_path and resume:
@@ -405,53 +498,224 @@ def build_sharded_qf(
             from .sources import read_table
 
             existing = read_table(spark, checkpoint_path)
-            done = {int(r.shard) for r in existing.select("shard").distinct().collect()}
+            done = {int(r.shard) for r in
+                    existing.select("shard").distinct().collect()}
         except Exception:
             done = set()
-    if done:
-        partials = partials.filter(~F.col("shard").isin(list(done)))
 
-    cfg = (config.counter_bits, config.bit_packed, config.hash_name, sb)
-
-    def _merge_and_build(pdf: pd.DataFrame) -> pd.DataFrame:
-        counter_bits, bit_packed, hash_name, shard_bits_ = cfg
-        hv, counts = _merge_hash_blobs(
-            list(zip(pdf["hashes"], pdf["counts"])), counter_bits
-        )
-        qf = QF.from_hashes(
-            hv, counts,
-            QFConfig(counter_bits=counter_bits, bit_packed=bit_packed,
-                     hash_name=hash_name),
-            assume_unique=True,
-        )
-        n_rows = (
-            int(counts.astype(np.int64).sum()) if counts is not None else len(hv)
-        )
-        return pd.DataFrame(
-            {
-                "shard": [int(pdf["shard"].iloc[0])],
-                "entries": [len(qf)],
-                "q_bits": [qf.q_bits],
-                "payload": [qf_to_bytes(qf)],
-                "hash_name": [hash_name],
-                "counter_bits": [counter_bits],
-                "shard_bits": [shard_bits_],
-                "n_rows": [n_rows],
-                "build_ts": [time.time()],
-                "code_version": [_CODE_VERSION],
-            }
-        )
-
-    shards_df = partials.groupBy("shard").applyInPandas(
-        _merge_and_build, schema=_SHARD_SCHEMA
-    )
+    if exchange == "arrow":
+        shards_df = _exchange_arrow(hashed, sb, config, done, payload_dir)
+    elif exchange == "storage":
+        shards_df, spill_cleanup = _exchange_storage(
+            spark, hashed, sb, config, done, payload_dir,
+            spill_dir, checkpoint_path)
+    elif exchange == "combine":
+        shards_df = _exchange_combine(hashed, sb, config, done, payload_dir)
+    elif exchange == "salted":
+        shards_df = _exchange_salted(hashed, sb, config, done, payload_dir)
+    else:
+        raise ValueError(f"unknown exchange mode {exchange!r}")
 
     if checkpoint_path:
         from .sources import read_table, write_checkpoint
 
-        write_checkpoint(shards_df, checkpoint_path)
-        return read_table(spark, checkpoint_path)
+        write_checkpoint(shards_df, checkpoint_path,
+                         mode="append" if resume else "overwrite")
+        if exchange == "storage" and spill_cleanup:
+            import shutil
+
+            shutil.rmtree(spill_cleanup, ignore_errors=True)
+        return latest_shards(read_table(spark, checkpoint_path))
     return shards_df
+
+
+def latest_shards(shards_df: DataFrame) -> DataFrame:
+    """Keep only the newest row per shard (max build_ts): a resumed or
+    re-run build may have appended a shard twice; probing a stale row
+    would silently violate the zero-false-negative contract."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("shard").orderBy(
+        F.col("build_ts").desc(), F.col("entries").desc())
+    return (shards_df.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1).drop("_rn"))
+
+
+# -- exchange: 'arrow' (fat collect_list rows through the channel) ----------
+
+def _exchange_arrow(hashed: DataFrame, sb: int, config: QFConfig,
+                    done: set, payload_dir: str | None) -> DataFrame:
+    import pyarrow as pa
+
+    routed = _routed(hashed, sb)
+    if done:
+        routed = routed.filter(~F.col("shard").isin(list(done)))
+    fat = routed.groupBy("shard").agg(F.collect_list("lh").alias("hv"))
+    cfg = config
+    with_counts = cfg.counter_bits > 0
+    pa_schema = _pa_shard_schema()
+
+    def _build_fat(tbl: "pa.Table") -> "pa.Table":
+        if tbl.num_rows == 0:
+            return pa_schema.empty_table()
+        shard = tbl.column("shard")[0].as_py()
+        # zero-copy: flatten the list column's value buffer per chunk
+        arrs = [c.flatten().to_numpy(zero_copy_only=False)
+                for c in tbl.column("hv").chunks]
+        hv = (np.concatenate(arrs) if len(arrs) > 1 else arrs[0]).astype(
+            np.int64, copy=False).view(np.uint64)
+        if with_counts:
+            uniq, counts = np.unique(hv, return_counts=True)
+            counts = counts.astype(np.uint64)
+        else:
+            uniq, counts = np.unique(hv), None
+        qf = QF.from_hashes(uniq, counts, cfg, assume_unique=True)
+        row = _finish_shard(qf, int(shard), len(hv), cfg, sb, payload_dir)
+        return pa.Table.from_pylist([row], schema=pa_schema)
+
+    return fat.groupBy("shard").applyInArrow(_build_fat, _SHARD_SCHEMA)
+
+
+def _pa_shard_schema():
+    import pyarrow as pa
+
+    return pa.schema([
+        ("shard", pa.int64()), ("entries", pa.int64()),
+        ("q_bits", pa.int32()), ("payload", pa.binary()),
+        ("payload_path", pa.string()), ("hash_name", pa.string()),
+        ("counter_bits", pa.int32()), ("shard_bits", pa.int32()),
+        ("n_rows", pa.int64()), ("build_ts", pa.float64()),
+        ("code_version", pa.string()),
+    ])
+
+
+# -- exchange: 'storage' (filesystem exchange, channel-free) ----------------
+
+def _exchange_storage(spark: SparkSession, hashed: DataFrame, sb: int,
+                      config: QFConfig, done: set, payload_dir: str | None,
+                      spill_dir: str | None, checkpoint_path: str | None):
+    """Stage 1 (pure JVM): write routed hashes as parquet partitioned by
+    shard. Stage 2: one task per shard reads its partition directly with
+    pyarrow and builds. Returns (shards_df, spill_path_to_cleanup)."""
+    import tempfile
+
+    cleanup = None
+    if spill_dir is None:
+        if checkpoint_path:
+            spill_dir = checkpoint_path.rstrip("/") + "_spill"
+            cleanup = spill_dir
+        else:
+            base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+            spill_dir = tempfile.mkdtemp(prefix="qf_spill_", dir=base)
+            # no checkpoint => the returned DataFrame is lazy over the
+            # spill; the caller owns cleanup (or passes spill_dir)
+    spill = os.path.join(spill_dir, "hashes")
+
+    routed = _routed(hashed, sb)
+    if done:
+        routed = routed.filter(~F.col("shard").isin(list(done)))
+    writer = routed.write.mode("overwrite")
+    for k, v in _SPILL_WRITE_OPTS.items():
+        writer = writer.option(k, v)
+    writer.partitionBy("shard").parquet(spill, compression="none")
+
+    cfg = config
+    with_counts = cfg.counter_bits > 0
+    todo = [(s,) for s in range(1 << sb) if s not in done]
+    ids_df = spark.createDataFrame(todo, "shard long").repartition(
+        max(len(todo), 1))
+
+    def _build_from_spill(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pyarrow.parquet as pq
+
+        for pdf in pdfs:
+            for s in pdf["shard"].tolist():
+                d = os.path.join(spill, f"shard={s}")
+                if not os.path.isdir(d):
+                    continue  # empty shard: no row, same as other modes
+                tbl = pq.read_table(d, columns=["lh"], use_threads=False)
+                hv = tbl.column("lh").to_numpy(zero_copy_only=False).astype(
+                    np.int64, copy=False).view(np.uint64)
+                if len(hv) == 0:
+                    continue
+                if with_counts:
+                    uniq, counts = np.unique(hv, return_counts=True)
+                    counts = counts.astype(np.uint64)
+                else:
+                    uniq, counts = np.unique(hv), None
+                qf = QF.from_hashes(uniq, counts, cfg, assume_unique=True)
+                yield pd.DataFrame(
+                    [_finish_shard(qf, int(s), len(hv), cfg, sb, payload_dir)])
+
+    return ids_df.mapInPandas(_build_from_spill, _SHARD_SCHEMA), cleanup
+
+
+# -- exchange: 'combine' (partition-local numpy combiner blobs) -------------
+
+def _exchange_combine(hashed: DataFrame, sb: int, config: QFConfig,
+                      done: set, payload_dir: str | None) -> DataFrame:
+    partials = hashed.mapInPandas(
+        _local_shard_blobs(sb, config.counter_bits > 0),
+        schema="shard long, hashes binary, counts binary",
+    )
+    if done:
+        partials = partials.filter(~F.col("shard").isin(list(done)))
+    return partials.groupBy("shard").applyInPandas(
+        _merge_and_build(config, sb, payload_dir), schema=_SHARD_SCHEMA
+    )
+
+
+# -- exchange: 'salted' (explicit two-stage row-level aggregation) ----------
+
+def _exchange_salted(hashed: DataFrame, sb: int, config: QFConfig,
+                     done: set, payload_dir: str | None) -> DataFrame:
+    salted = hashed.withColumn(
+        "salt", F.pmod(F.monotonically_increasing_id(), F.lit(64))
+    )
+    agg = (
+        salted.groupBy(HASH_COL, "salt")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy(HASH_COL)
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    routed = agg.select(
+        (F.shiftrightunsigned(F.col(HASH_COL), 64 - sb) if sb
+         else F.lit(0)).cast("long").alias("shard"),
+        (F.shiftleft(F.col(HASH_COL), sb) if sb
+         else F.col(HASH_COL)).alias("local_hash"),
+        F.col("cnt"),
+    )
+    if done:
+        routed = routed.filter(~F.col("shard").isin(list(done)))
+    partials = routed.groupBy("shard").applyInPandas(
+        _rows_to_blob(config.counter_bits > 0),
+        schema="shard long, hashes binary, counts binary",
+    )
+    return partials.groupBy("shard").applyInPandas(
+        _merge_and_build(config, sb, payload_dir), schema=_SHARD_SCHEMA
+    )
+
+
+def _merge_and_build(config: QFConfig, shard_bits: int,
+                     payload_dir: str | None):
+    """applyInPandas reducer shared by 'combine'/'salted': merge a
+    shard's sorted blobs and bulk-build its filter."""
+    cfg = config
+
+    def _fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        hv, counts = _merge_hash_blobs(
+            list(zip(pdf["hashes"], pdf["counts"])), cfg.counter_bits
+        )
+        qf = QF.from_hashes(hv, counts, cfg, assume_unique=True)
+        n_rows = (
+            int(counts.astype(np.int64).sum()) if counts is not None else len(hv)
+        )
+        return pd.DataFrame(
+            [_finish_shard(qf, int(pdf["shard"].iloc[0]), n_rows, cfg,
+                           shard_bits, payload_dir)]
+        )
+
+    return _fn
 
 
 def _local_shard_blobs(shard_bits: int, with_counts: bool):
@@ -518,16 +782,22 @@ def _rows_to_blob(with_counts: bool):
 
 def load_sharded_qf(shards_df_or_rows) -> ShardedQF:
     """Materialize a ShardedQF from the shard table (DataFrame or
-    collected rows). Each shard's filter gets its probe index built."""
+    collected rows). Duplicate shard rows (from appended re-builds) are
+    resolved to the newest build_ts. Each shard's filter gets its probe
+    index built."""
     rows = (
         shards_df_or_rows.collect()
         if isinstance(shards_df_or_rows, DataFrame)
         else list(shards_df_or_rows)
     )
+    best: dict[int, object] = {}
+    for r in rows:
+        s = int(r.shard)
+        if s not in best or float(r.build_ts) > float(best[s].build_ts):
+            best[s] = r
     shards: dict[int, QF] = {}
     shard_bits = 0
-    for r in rows:
-        qf = qf_from_bytes(bytes(r.payload))
-        shards[int(r.shard)] = qf
+    for s, r in best.items():
+        shards[s] = qf_from_bytes(shard_payload_bytes(r))
         shard_bits = int(r.shard_bits)
     return ShardedQF(shard_bits, shards)

@@ -23,7 +23,13 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.functions import pandas_udf
 
-from .build import DEFAULT_HASH, ShardedQF, _dtype_of, hash_column
+from .build import (
+    DEFAULT_HASH,
+    ShardedQF,
+    _dtype_of,
+    hash_column,
+    shard_payload_bytes,
+)
 from .kernel import QF
 from .serde import qf_from_bytes, qf_to_bytes
 
@@ -110,10 +116,16 @@ def annotate(
         )
 
     probe_struct = _probe(hash_column(col, hash_name, _dtype_of(df, col)))
+    # NULL policy: a NULL key is never a member (builds drop NULLs; see
+    # build.py module docstring) — mask instead of hashing NULL, which
+    # Spark and byte-oriented engines hash differently
+    is_null = F.col(col).isNull()
     return df.withColumn("_qf_probe", probe_struct).select(
         *df.columns,
-        F.col("_qf_probe.seen").alias(seen_col),
-        F.col("_qf_probe.cnt").alias(count_col),
+        F.when(is_null, F.lit(False))
+        .otherwise(F.col("_qf_probe.seen")).alias(seen_col),
+        F.when(is_null, F.lit(0).cast("long"))
+        .otherwise(F.col("_qf_probe.cnt")).alias(count_col),
     )
 
 
@@ -123,6 +135,7 @@ def annotate_via_shard_table(
     shards_df: DataFrame,
     seen_col: str = "qf_seen",
     count_col: str = "qf_count",
+    probe_splits: int | None = None,
 ) -> DataFrame:
     """Membership/count lookup against a *checkpointed shard table*
     without broadcasting anything — the path for filters too large for
@@ -134,10 +147,22 @@ def annotate_via_shard_table(
     exactly one shard and batch-probes its group of keys. The shuffle
     moves (key, hash) pairs grouped by shard — uniformly distributed,
     since top hash bits are uniform over distinct keys.
+
+    ``probe_splits`` decouples probe parallelism from the shard count:
+    each shard's probes are salted into that many sub-groups and the
+    shard row is replicated once per salt, so a 16-shard table can still
+    drive hundreds of probe tasks at 10^12-probe volume. Defaults to
+    ceil(defaultParallelism / shard_count), so total probe tasks ~= the
+    cluster's parallelism. Duplicate shard rows (appended re-builds) are
+    resolved to the newest ``build_ts``.
     """
     first = shards_df.select("shard_bits", "hash_name").limit(1).collect()[0]
     sb, hash_name = int(first.shard_bits), first.hash_name
     key_dtype = df.schema[col].dataType.simpleString()
+    spark = df.sparkSession
+    if probe_splits is None:
+        par = spark.sparkContext.defaultParallelism
+        probe_splits = max(1, -(-par // max(1, 1 << sb)))
 
     hashed = df.select(
         F.col(col).alias("_qf_key"),
@@ -146,6 +171,18 @@ def annotate_via_shard_table(
         "shard",
         F.shiftrightunsigned(F.col("_qf_h"), 64 - sb) if sb
         else F.lit(0).cast("long"),
+    ).withColumn(
+        # salt on LOW hash bits (independent of the top routing bits):
+        # uniform sub-split of each shard's probe stream
+        "_qf_salt", F.pmod(F.col("_qf_h"), F.lit(probe_splits)).cast("long"),
+    )
+
+    shard_cols = shards_df.select("shard", "payload", "payload_path",
+                                  "build_ts")
+    replicated = shard_cols.withColumn(
+        "_qf_salt",
+        F.explode(F.sequence(F.lit(0).cast("long"),
+                             F.lit(probe_splits - 1).cast("long"))),
     )
 
     def _probe_group(probes: pd.DataFrame, shard_rows: pd.DataFrame) -> pd.DataFrame:
@@ -161,7 +198,8 @@ def annotate_via_shard_table(
             found = np.zeros(len(probes), dtype=bool)
             counts = np.zeros(len(probes), dtype=np.int64)
         else:
-            qf = qf_from_bytes(bytes(shard_rows["payload"].iloc[0]))
+            newest = shard_rows.loc[shard_rows["build_ts"].idxmax()]
+            qf = qf_from_bytes(shard_payload_bytes(newest))
             f, c = qf.lookup_hashes(local)
             found, counts = f, c.astype(np.int64)
         return pd.DataFrame(
@@ -171,8 +209,8 @@ def annotate_via_shard_table(
 
     out_schema = f"_qf_key {key_dtype}, {seen_col} boolean, {count_col} long"
     probed = (
-        hashed.groupBy("shard")
-        .cogroup(shards_df.select("shard", "payload").groupBy("shard"))
+        hashed.groupBy("shard", "_qf_salt")
+        .cogroup(replicated.groupBy("shard", "_qf_salt"))
         .applyInPandas(_probe_group, schema=out_schema)
     )
     return probed.withColumnRenamed("_qf_key", col)

@@ -51,12 +51,21 @@ def write_checkpoint(df: DataFrame, location: str, fmt: str = "auto",
                      mode: str = "append") -> None:
     """Write the shard-checkpoint table. Iceberg gives the production
     properties (atomic commits, snapshot isolation for concurrent
-    resumers, time travel over build lineage); parquet append is the
-    sandbox equivalent."""
+    resumers, time travel over build lineage); parquet is the sandbox
+    equivalent.
+
+    ``mode='append'`` is for resumed builds (only missing shards are in
+    ``df``); ``mode='overwrite'`` replaces the table — a fresh build
+    (resume=False) never appends near-duplicate shard rows, and readers
+    additionally resolve any duplicates to the newest ``build_ts``
+    (``build.latest_shards``)."""
     spark = df.sparkSession
     if fmt == "auto":
         fmt = "iceberg" if (iceberg_available(spark) and "/" not in location) else "parquet"
     if fmt == "iceberg":
-        df.writeTo(location).append()
+        if mode == "overwrite":
+            df.writeTo(location).createOrReplace()
+        else:
+            df.writeTo(location).append()
         return
     df.write.mode(mode).parquet(location)

@@ -41,10 +41,15 @@ def _merge_shard_tables(spark, existing_path: str, new_df: DataFrame,
     both = existing.unionByName(new_df)
 
     def _merge(pdf: pd.DataFrame) -> pd.DataFrame:
-        filters = [qf_from_bytes(bytes(b)) for b in pdf["payload"]]
+        from .build import shard_payload_bytes
+
+        filters = [qf_from_bytes(shard_payload_bytes(r))
+                   for _, r in pdf.iterrows()]
         merged = QF.merge_many(filters) if len(filters) > 1 else filters[0]
         row = pdf.iloc[0].copy()
         row["payload"] = qf_to_bytes(merged)
+        if "payload_path" in row.index:
+            row["payload_path"] = ""  # merged state is stored inline
         row["entries"] = len(merged)
         row["q_bits"] = merged.q_bits
         row["n_rows"] = int(pdf["n_rows"].sum())
@@ -184,10 +189,20 @@ def stateful_streaming_dedup(
             fresh_rows = cand[np.sort(first)]
             if len(fresh_rows):
                 new_hashes = hv[fresh_rows]
-                merged = QF.merge_many(
-                    [qf, QF.from_hashes(new_hashes, None, qf.config)]
-                ) if len(qf) else QF.from_hashes(new_hashes, None, qf.config)
-                qf = merged
+                if len(qf) == 0:
+                    qf = QF.from_hashes(new_hashes, None, qf.config)
+                elif len(new_hashes) * 16 < len(qf):
+                    # steady state: per-batch cost stays O(batch), not
+                    # O(state) — incremental ripple-shift inserts into
+                    # the existing filter instead of a decode+rebuild
+                    for h in new_hashes.tolist():
+                        qf.insert_hash(int(h))
+                else:
+                    # batch is large relative to state: one vectorized
+                    # rebuild is cheaper than per-key inserts
+                    qf = QF.merge_many(
+                        [qf, QF.from_hashes(new_hashes, None, qf.config)]
+                    )
                 yield pd.DataFrame({"key": pdf["key"].iloc[fresh_rows]})
         state.update((qf_to_bytes(qf),))
 
