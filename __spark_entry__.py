@@ -156,10 +156,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _emb(s, d), threshold=0.2
         ),
         "cosine_topk": lambda s, d: similarity.cosine_topk(_emb(s, d), k=5),
-        # approximate ANN: no SQL oracle (LSH candidate sets are not
-        # SQL-stable) -> rows-only check
+        # approximate ANN, fully oracle-checked: the hyperplanes are
+        # md5-derived and the fold order fixed, so DuckDB reproduces the
+        # exact candidate sets (duckdb_lsh_cosine_topk_sql) AND the
+        # measured recall value (duckdb_lsh_ann_recall_sql)
         "lsh_cosine_topk": lambda s, d: similarity.lsh_cosine_topk(
             _emb(s, d), k=5, planes=6, tables=4
+        ),
+        "lsh_ann_recall": lambda s, d: similarity.ann_recall_df(
+            similarity.cosine_topk(_emb(s, d), k=5),
+            similarity.lsh_cosine_topk(_emb(s, d), k=5, planes=6, tables=4),
+            k=5,
         ),
     }
 
@@ -258,4 +265,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "cosine_pairs": similarity.duckdb_cosine_pairs_sql(threshold=0.2),
         "cosine_topk": similarity.duckdb_cosine_topk_sql(k=5),
+        "lsh_cosine_topk": similarity.duckdb_lsh_cosine_topk_sql(
+            k=5, planes=6, tables=4),
+        "lsh_ann_recall": similarity.duckdb_lsh_ann_recall_sql(
+            k=5, planes=6, tables=4),
     }

@@ -319,17 +319,79 @@ def embedding_near_dup(
     id_col: str = "vec_id",
     col: str = "embedding",
     threshold: float = 0.95,
+    method: str = "auto",
+    tables: int = 16,
+    planes: int | None = None,
+    dim: int = 64,
 ) -> DataFrame:
     """Near-duplicate groups by embedding cosine similarity: pairs with
     cosine >= threshold collapse to (dup id -> keep id = min id of the
     pair). Returns (doc_id, keep_doc_id) for every duplicate member.
 
-    Small-scale exact (brute-force pairs); at scale swap the pair source
-    for similarity.lsh_cosine_topk candidates — the decision logic is
-    identical."""
-    from .similarity import cosine_pairs
+    ``method='lsh'`` — the scale path: candidate pairs share a
+    sign-bucket in >= 1 of ``tables`` hash tables (equality join, shuffle
+    bounded by bucket population) and are verified with the exact cosine.
+    At threshold t, a true pair is missed with probability
+    (1 - p^planes)^tables where p = 1 - acos(t)/pi >= 0.9 for t >= 0.95 —
+    with 16 tables the miss rate is negligible (<1e-5 per pair at
+    t=0.95), which is why the exact brute-force DuckDB oracle still
+    matches at gate scale. ``planes=None`` scales the bucket count with
+    corpus size (similarity.planes_for).
 
-    pairs = cosine_pairs(emb_df, id_col, col, threshold)
+    ``method='exact'``: the brute-force all-pairs verify — the oracle
+    baseline, O(n^2).
+
+    ``method='auto'`` (default) picks the correct physical strategy for
+    the predicate: LSH for threshold >= 0.8 (its collision probability
+    p = 1 - acos(t)/pi ~ 0.8+ makes candidate recall cheap), exact below
+    it — for weak-similarity thresholds sign-LSH needs so many tables
+    that the candidate join EXCEEDS the brute-force cost (at t=0.35,
+    p ~ 0.61: ~60 tables for 1e-4 miss ~ 3.75 n^2 candidate pairs), so
+    falling back is the faster AND the complete plan."""
+    from .similarity import cosine_pairs, lsh_bucket_expr, planes_for
+
+    if method == "auto":
+        method = "lsh" if threshold >= 0.8 else "exact"
+    if method == "exact":
+        pairs = cosine_pairs(emb_df, id_col, col, threshold)
+    elif method == "lsh":
+        if planes is None:
+            planes = planes_for(emb_df.count())
+        bucket_arr = "array({})".format(
+            ", ".join(
+                f"named_struct('t', {t}, 'bucket', "
+                f"{lsh_bucket_expr(col, planes, dim, t)})"
+                for t in range(tables)
+            )
+        )
+        base = emb_df.select(
+            F.col(id_col).alias("id"),
+            F.col(col).alias("emb"),
+            F.explode(F.expr(bucket_arr)).alias("tb"),
+        ).select("id", "emb", F.col("tb.t").alias("t"),
+                 F.col("tb.bucket").alias("bucket"))
+        dot = (
+            "aggregate(zip_with(a.emb, b.emb, (x, y) -> "
+            "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), "
+            "(acc, v) -> acc + v)"
+        )
+        na = dot.replace("a.emb, b.emb", "a.emb, a.emb")
+        nb = dot.replace("a.emb, b.emb", "b.emb, b.emb")
+        cos = f"{dot} / (sqrt({na}) * sqrt({nb}))"
+        pairs = (
+            base.alias("a")
+            .join(base.alias("b"), ["t", "bucket"])
+            .where(F.col("a.id") < F.col("b.id"))
+            .select(
+                F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"),
+                F.expr(f"round({cos}, 6)").alias("cos"),
+            )
+            .where(F.col("cos") >= threshold)
+            .distinct()
+        )
+    else:
+        raise ValueError(f"unknown method {method!r}")
     return (
         pairs.groupBy(F.col("id_b").alias("doc_id"))
         .agg(F.min("id_a").alias("keep_doc_id"))

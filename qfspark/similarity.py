@@ -121,6 +121,21 @@ def cosine_topk(df: DataFrame, queries: DataFrame | None = None,
     )
 
 
+def planes_for(n: int, target_bucket: int = 64,
+               lo: int = 4, hi: int = 24) -> int:
+    """Hyperplane count scaled to corpus size: 2^planes buckets per hash
+    table, sized so the expected bucket population stays ~``target_bucket``
+    regardless of n. A FIXED plane count (round-1 defect) means bucket
+    population grows linearly with the corpus and the candidate join
+    quietly degrades toward n^2; recall is then re-bought with ``tables``,
+    which multiplies candidates linearly instead."""
+    import math
+
+    if n <= 1:
+        return lo
+    return max(lo, min(hi, math.ceil(math.log2(max(2.0, n / target_bucket)))))
+
+
 def lsh_bucket_expr(col: str, planes: int = 8, dim: int = 64,
                     table: int = 0) -> str:
     """Sign-bucket key for hash table ``table``: bit b of the key is the
@@ -142,15 +157,20 @@ def lsh_bucket_expr(col: str, planes: int = 8, dim: int = 64,
 
 def lsh_cosine_topk(df: DataFrame, id_col: str = "vec_id",
                     col: str = "embedding", k: int = 10,
-                    planes: int = 8, dim: int = 64,
+                    planes: int | None = None, dim: int = 64,
                     tables: int = 4) -> DataFrame:
     """Approximate top-k: candidates share a sign-bucket in at least one
     of ``tables`` independent hash tables (equality join on (table,
     bucket) — shuffle bounded by bucket population, never n^2), then
     exact cosine + window top-k within candidates. The 10^12-scale ANN
-    shape: 2^planes buckets per table scale with corpus size; more
-    tables raise recall at linear candidate cost."""
+    shape: ``planes=None`` derives the bucket count from the corpus size
+    (``planes_for``) so bucket population stays bounded as the corpus
+    grows; more tables raise recall at linear candidate cost. Measure
+    the recall dial with ``ann_recall_df`` against ``cosine_topk``."""
     from pyspark.sql.window import Window
+
+    if planes is None:
+        planes = planes_for(df.count())
 
     bucket_arr = "array({})".format(
         ", ".join(
@@ -211,6 +231,110 @@ def ann_recall(exact_topk: DataFrame, approx_topk: DataFrame,
         "exact_pairs": total,
         "recovered": hits,
     }
+
+
+def ann_recall_df(exact_topk: DataFrame, approx_topk: DataFrame,
+                  k: int | None = None) -> DataFrame:
+    """``ann_recall`` as a one-row DataFrame (lazy; oracle-checkable):
+    (recall_at_k, recall_at_1, exact_pairs, recovered). Everything is
+    deterministic — md5-derived hyperplanes, fixed fold order — so the
+    recall VALUE itself is reproducible and gate-checkable, which is what
+    makes the approximate operator verified rather than trusted."""
+    e = exact_topk.select("query_id", "neighbor_id", "rank")
+    if k is not None:
+        e = e.where(F.col("rank") <= k)
+    a = approx_topk.select("query_id", "neighbor_id").distinct()
+    j = e.join(a.withColumn("_hit", F.lit(1)),
+               ["query_id", "neighbor_id"], "left").withColumn(
+        "hit", F.coalesce(F.col("_hit"), F.lit(0)))
+    top1 = F.when(F.col("rank") == 1, F.col("hit"))
+    return j.agg(
+        F.round(F.sum("hit") / F.count(F.lit(1)), 4).alias("recall_at_k"),
+        F.round(F.sum(top1) / F.count(top1), 4).alias("recall_at_1"),
+        F.count(F.lit(1)).alias("exact_pairs"),
+        F.sum("hit").cast("long").alias("recovered"),
+    )
+
+
+def duckdb_lsh_bucket_expr(col: str, planes: int, dim: int,
+                           table) -> str:
+    """DuckDB twin of ``lsh_bucket_expr`` — bit-for-bit identical buckets
+    (md5-derived plane components; list_dot_product matches Spark's
+    left-to-right aggregate/zip_with fold). ``table`` may be an int or a
+    SQL column name."""
+    h60 = (f"(('0x' || substr(md5({table} || '_' || b || '_' || j), 1, 15))"
+           f"::BIGINT)")
+    plane = f"(({h60} % 1000) / 1000.0 - 0.5)"
+    planes_list = f"list_transform(range(0, {dim}), j -> {plane})"
+    dot_b = f"list_dot_product({col}, {planes_list})"
+    return (f"list_sum(list_transform(range(0, {planes}), b -> "
+            f"CASE WHEN {dot_b} >= 0 THEN (1::BIGINT << b) "
+            f"ELSE 0::BIGINT END))")
+
+
+def duckdb_lsh_cosine_topk_sql(id_col: str = "vec_id",
+                               col: str = "embedding", k: int = 10,
+                               planes: int = 8, dim: int = 64,
+                               tables: int = 4) -> str:
+    """DuckDB twin of ``lsh_cosine_topk`` (same buckets, same candidate
+    join, same ranking) — the oracle for the approximate path itself."""
+    bucket = duckdb_lsh_bucket_expr("emb", planes, dim, "t")
+    dot = "list_dot_product(q.emb, c.emb)"
+    nq = "sqrt(list_dot_product(q.emb, q.emb))"
+    nc = "sqrt(list_dot_product(c.emb, c.emb))"
+    return f"""
+        WITH base AS (
+            SELECT {id_col} AS id, {col}::DOUBLE[] AS emb FROM embeddings
+        ),
+        bt AS (
+            SELECT id, emb, r.t AS t, {bucket} AS bucket
+            FROM base, (SELECT unnest(range(0, {tables})) AS t) r
+        ),
+        scored AS (
+            SELECT DISTINCT q.id AS query_id, c.id AS neighbor_id,
+                   round({dot} / ({nq} * {nc}), 6) AS cos
+            FROM bt q JOIN bt c ON q.t = c.t AND q.bucket = c.bucket
+            WHERE q.id != c.id
+        ),
+        ranked AS (
+            SELECT query_id, neighbor_id, cos,
+                   row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY cos DESC, neighbor_id ASC
+                   ) AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= {k}
+    """
+
+
+def duckdb_lsh_ann_recall_sql(id_col: str = "vec_id",
+                              col: str = "embedding", k: int = 10,
+                              planes: int = 8, dim: int = 64,
+                              tables: int = 4) -> str:
+    """DuckDB twin of ``ann_recall_df(cosine_topk, lsh_cosine_topk)``:
+    the recall value of the deterministic LSH path, computed end-to-end
+    in SQL. This is the correctness gate for the ANN operator — the
+    recall itself is the oracle-checked quantity."""
+    exact = duckdb_cosine_topk_sql(id_col, col, k)
+    approx = duckdb_lsh_cosine_topk_sql(id_col, col, k, planes, dim, tables)
+    return f"""
+        WITH exact_topk AS ({exact}),
+        lsh_topk AS ({approx}),
+        hits AS (
+            SELECT e.rank,
+                   CASE WHEN a.query_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+            FROM exact_topk e
+            LEFT JOIN (SELECT DISTINCT query_id, neighbor_id FROM lsh_topk) a
+            ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+        )
+        SELECT round(sum(hit) / count(*), 4) AS recall_at_k,
+               round(sum(CASE WHEN rank = 1 THEN hit END)
+                     / count(CASE WHEN rank = 1 THEN 1 END), 4) AS recall_at_1,
+               count(*)::BIGINT AS exact_pairs,
+               sum(hit)::BIGINT AS recovered
+        FROM hits
+    """
 
 
 def duckdb_cosine_topk_sql(id_col: str = "vec_id", col: str = "embedding",

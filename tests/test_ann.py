@@ -1,0 +1,83 @@
+"""ANN-path gates (round-2): the LSH operators are verified, not
+trusted — recall measured on planted high-similarity clusters, candidate
+completeness vs the exact oracle, plane count scaled to corpus size, and
+the auto physical-strategy dispatch in embedding_near_dup."""
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from qfspark import dedup, similarity
+
+
+@pytest.fixture(scope="module")
+def clustered_emb(spark):
+    """Deterministic planted clusters: 30 centers x 8 members, members
+    perturbed so within-cluster cosine is ~0.97+, across-cluster ~0."""
+    rng = np.random.RandomState(7)
+    rows = []
+    vid = 0
+    for c in range(30):
+        center = rng.randn(64)
+        center /= np.linalg.norm(center)
+        for m in range(8):
+            v = center + 0.025 * rng.randn(64)  # noise norm ~0.2 -> cos ~0.98
+            v /= np.linalg.norm(v)
+            rows.append((vid, [float(x) for x in v.astype(np.float32)], c))
+            vid += 1
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).repartition(4).cache()
+
+
+def test_lsh_near_dup_matches_exact_high_threshold(clustered_emb):
+    exact = {(r.doc_id, r.keep_doc_id) for r in dedup.embedding_near_dup(
+        clustered_emb, threshold=0.9, method="exact").collect()}
+    lsh = {(r.doc_id, r.keep_doc_id) for r in dedup.embedding_near_dup(
+        clustered_emb, threshold=0.9, method="lsh").collect()}
+    assert len(exact) > 100  # the planted clusters are actually found
+    assert lsh == exact
+
+
+def test_auto_dispatch(clustered_emb):
+    # high threshold -> LSH plan: no all-pairs join anywhere
+    plan_hi = dedup.embedding_near_dup(
+        clustered_emb, threshold=0.95, method="auto"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan_hi and "Cartesian" not in plan_hi
+    # low threshold -> exact fallback, same rows as explicit exact
+    lo_auto = {(r.doc_id, r.keep_doc_id) for r in dedup.embedding_near_dup(
+        clustered_emb, threshold=0.3, method="auto").collect()}
+    lo_exact = {(r.doc_id, r.keep_doc_id) for r in dedup.embedding_near_dup(
+        clustered_emb, threshold=0.3, method="exact").collect()}
+    assert lo_auto == lo_exact
+
+
+def test_lsh_recall_gate_on_clustered_data(clustered_emb):
+    """recall@k of the LSH top-k vs the exact top-k on data with real
+    neighbor structure (k < cluster size, so true neighbors are
+    same-cluster, cosine ~0.97): the operator must recover >= 0.9."""
+    exact = similarity.cosine_topk(clustered_emb, k=5)
+    approx = similarity.lsh_cosine_topk(clustered_emb, k=5,
+                                        planes=6, tables=8)
+    row = similarity.ann_recall_df(exact, approx, k=5).collect()[0]
+    assert row.exact_pairs == 240 * 5
+    assert row.recall_at_k >= 0.9
+    assert row.recall_at_1 >= 0.95
+
+
+def test_planes_scale_with_corpus():
+    assert similarity.planes_for(100) == 4
+    assert similarity.planes_for(64 * (1 << 10)) == 10
+    p1m, p1g = similarity.planes_for(10**6), similarity.planes_for(10**9)
+    assert p1m < p1g <= 24
+    # default planes=None derives from the DataFrame size
+    # (covered on the DataFrame path in test_lsh_default_planes below)
+
+
+def test_lsh_default_planes(clustered_emb):
+    # planes=None must run and produce the same schema
+    out = similarity.lsh_cosine_topk(clustered_emb, k=3, tables=4)
+    assert out.columns == ["query_id", "neighbor_id", "cos", "rank"]
+    assert out.count() > 0
