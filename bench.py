@@ -261,10 +261,14 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
 
     # pairwise ops on capped inputs (full-size parity is the correctness
-    # gate's job at sf0.01; here we time the plan shape)
-    docs1k = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(1000).cache()
+    # gate's job at sf0.01; here we time the plan shape). NB: a bare
+    # .limit(n) collapses to ONE partition (CollectLimit) and would
+    # serialize every downstream expression — repartition after capping
+    docs1k = (spark.read.parquet(f"{SF_DIR}/documents.parquet")
+              .limit(1000).repartition(CPUS).cache())
     docs1k.count()
-    emb500 = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").limit(500).cache()
+    emb500 = (spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+              .limit(500).repartition(CPUS).cache())
     emb500.count()
     t0 = time.time()
     dedup.minhash_lsh_pairs(docs1k, threshold=0.2).count()

@@ -179,36 +179,60 @@ def _distinct_shingles(df: DataFrame, col: str, k: int) -> DataFrame:
 
 
 def ngram_jaccard(
-    df: DataFrame, pairs: DataFrame | None, col: str = "text", k: int = 3
+    df: DataFrame, pairs: DataFrame | None, col: str = "text", k: int = 3,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard similarity over distinct k-gram shingle sets for the
     given candidate pairs (doc_a, doc_b), or for every pair sharing at
-    least one shingle when ``pairs`` is None. The join key is the shingle
-    (index-style candidate generation), never a cross product."""
-    dsh = _distinct_shingles(df, col, k).cache()
+    least one shingle when ``pairs`` is None.
+
+    Candidate mode is PAIR-KEYED: each pair's left shingle set joins the
+    right side on (doc_b, shingle), so the intermediate is bounded by
+    |pairs| x shingles-per-doc — a boilerplate trigram shared by a
+    million documents costs nothing extra. (A shingle-keyed self-join
+    over candidate *members* — the round-1 shape — still explodes
+    quadratically on such hot shingles, because the join key ignores
+    which pairs are actually under test.)
+
+    Generator mode (``pairs=None``) is necessarily shingle-keyed — that
+    IS the candidate generator. ``max_shingle_df`` optionally drops
+    shingles whose document frequency exceeds the cap before the
+    self-join (the standard skew control for web-scale boilerplate;
+    intersections then undercount by the dropped shingles, which is the
+    documented approximation every production near-dup pipeline makes —
+    leave None for the exact oracle semantics)."""
+    dsh = _distinct_shingles(df, col, k)
     sizes = dsh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    join_src = dsh
     if pairs is not None:
-        # candidate mode: restrict the shingle self-join to candidate
-        # members BEFORE joining — without this the LSH candidate step
-        # would save nothing (the self-join would still be all-pairs)
-        cand_ids = (
-            pairs.select(F.col("doc_a").alias("doc_id"))
-            .union(pairs.select(F.col("doc_b").alias("doc_id")))
-            .distinct()
+        # pair-keyed verification: explode each pair through doc_a's
+        # shingles, then probe (doc_b, shingle) — never keyed on the
+        # bare shingle
+        a_sh = pairs.join(
+            dsh.withColumnRenamed("doc_id", "doc_a"), "doc_a"
+        ).select("doc_a", "doc_b", "shingle")
+        inter = (
+            a_sh.join(dsh.withColumnRenamed("doc_id", "doc_b"),
+                      ["doc_b", "shingle"])
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("common"))
         )
-        join_src = dsh.join(cand_ids, "doc_id")
-    inter = (
-        join_src.alias("x")
-        .join(join_src.alias("y"), "shingle")
-        .where(F.col("x.doc_id") < F.col("y.doc_id"))
-        .groupBy(
-            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+    else:
+        join_src = dsh
+        if max_shingle_df is not None:
+            rare = (dsh.groupBy("shingle")
+                    .agg(F.count(F.lit(1)).alias("df"))
+                    .where(F.col("df") <= max_shingle_df)
+                    .select("shingle"))
+            join_src = dsh.join(rare, "shingle")
+        inter = (
+            join_src.alias("x")
+            .join(join_src.alias("y"), "shingle")
+            .where(F.col("x.doc_id") < F.col("y.doc_id"))
+            .groupBy(
+                F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+            )
+            .agg(F.count(F.lit(1)).alias("common"))
         )
-        .agg(F.count(F.lit(1)).alias("common"))
-    )
-    if pairs is not None:
-        inter = inter.join(pairs, ["doc_a", "doc_b"])
     return (
         inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
         .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")

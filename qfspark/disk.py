@@ -7,8 +7,15 @@ only the pages holding the slots it visits — the reference's
 pay-per-probe ReadAt behavior (disk.go:31-72, packed.go:168-219), with
 the OS page cache in place of its manual reads.
 
+``open_readonly_gqf(path)`` gives the SAME zero-load behavior for files
+written by the Go library itself (its exact wire format,
+serialize.go:16-122) — the reference's own ``OpenReadOnlyFromPath``
+answers probes against its format without loading, and so do we.
+
 Unlike the reference, which hard-codes murmur on reopen (disk.go:69-70),
-the hash name is read from our header.
+the native format reads the hash name from our header; the Go format
+carries none, so the caller supplies it (default murmur, matching the
+reference's assumption).
 """
 
 from __future__ import annotations
@@ -18,7 +25,14 @@ import struct
 import numpy as np
 
 from .kernel import QF
-from .serde import _MAGIC, _VERSION, qf_to_bytes
+from .serde import (
+    _GQF_PACKED_VECTOR_VERSION,
+    _GQF_VERSION,
+    _MAGIC,
+    _VERSION,
+    expected_words,
+    qf_to_bytes,
+)
 from .sizing import QFConfig
 from .vector import PackedVector, UnpackedVector
 
@@ -31,18 +45,16 @@ def save(qf: QF, path: str) -> int:
 
 
 def open_any(path: str, hash_name: str = "murmur64a") -> QF:
-    """Open a filter file in either the native format (memory-mapped,
-    zero-load) or the go-qfext wire format (fully loaded; the Go format
-    carries no hash identifier, so ``hash_name`` applies — the reference
-    itself assumes murmur, disk.go:69-70)."""
+    """Open a filter file in either the native format or the go-qfext
+    wire format — BOTH memory-mapped, zero-load (header read only; pages
+    fault in per probe in ``walk`` mode). The Go format carries no hash
+    identifier, so ``hash_name`` applies to it (the reference itself
+    assumes murmur, disk.go:69-70)."""
     with open(path, "rb") as f:
         magic = f.read(4)
     if magic == _MAGIC:
         return open_readonly(path)
-    from .serde import qf_from_gqf_bytes
-
-    with open(path, "rb") as f:
-        return qf_from_gqf_bytes(f.read(), hash_name=hash_name)
+    return open_readonly_gqf(path, hash_name=hash_name)
 
 
 def read_header_from_path(path: str) -> dict:
@@ -53,8 +65,37 @@ def read_header_from_path(path: str) -> dict:
         return read_header(f.read(64))
 
 
+def _mmap_vector(path: str, off: int, cls, bits: int, size: int):
+    """Memory-map one serialized vector section (u64 length + raw words),
+    validating the length against the geometry. Returns (vector,
+    next_offset)."""
+    with open(path, "rb") as f:
+        f.seek(off)
+        raw = f.read(8)
+    if len(raw) < 8:
+        raise ValueError("truncated filter file: vector length missing")
+    (nwords,) = struct.unpack("<Q", raw)
+    want = expected_words(cls, bits, size)
+    if nwords != want:
+        raise ValueError(
+            f"corrupt filter file: vector has {nwords} words, geometry "
+            f"(bits={bits}, size={size}) requires {want}")
+    words = np.memmap(path, dtype="<u8", mode="r", offset=off + 8,
+                      shape=(nwords,))
+    vec = cls.__new__(cls)
+    vec.bits = bits
+    vec.size = size
+    vec.words = words
+    vec.mask = (
+        np.uint64(0xFFFFFFFFFFFFFFFF)
+        if bits == 64
+        else np.uint64((1 << bits) - 1)
+    )
+    return vec, off + 8 + nwords * 8
+
+
 def open_readonly(path: str) -> QF:
-    """Open a serialized filter without loading it: word arrays are
+    """Open a native-format filter without loading it: word arrays are
     memory-mapped read-only. Lookups work as usual; use
     ``lookup_hashes(..., mode='walk')`` to keep the pay-per-probe
     property (``'index'`` mode decodes the whole filter once, which
@@ -77,28 +118,57 @@ def open_readonly(path: str) -> QF:
     )
     qf = QF(cfg)
     cls = PackedVector if bit_packed else UnpackedVector
-
-    def _mmap_vector(off: int, bits: int, size: int):
-        with open(path, "rb") as f:
-            f.seek(off)
-            (nwords,) = struct.unpack("<Q", f.read(8))
-        words = np.memmap(path, dtype="<u8", mode="r", offset=off + 8,
-                          shape=(nwords,))
-        vec = cls.__new__(cls)
-        vec.bits = bits
-        vec.size = size
-        vec.words = words
-        vec.mask = (
-            np.uint64(0xFFFFFFFFFFFFFFFF)
-            if bits == 64
-            else np.uint64((1 << bits) - 1)
-        )
-        return vec, off + 8 + nwords * 8
-
-    # serde vector sections are (u64 word count + raw words); geometry
-    # (bits,size) is derived from the filter header
-    qf.filter, offset = _mmap_vector(offset, 3 + qf.r_bits, qf.size)
+    qf.filter, offset = _mmap_vector(path, offset, cls, 3 + qf.r_bits, qf.size)
     if counter_bits > 0:
-        qf.storage, offset = _mmap_vector(offset, counter_bits, qf.size)
+        qf.storage, offset = _mmap_vector(path, offset, cls, counter_bits,
+                                          qf.size)
     qf.entries = entries
+    return qf
+
+
+def open_readonly_gqf(path: str, hash_name: str = "murmur64a") -> QF:
+    """Open a file written by the Go reference library without loading
+    it (its Disk mode, disk.go:31-72): header parse + memmap per vector
+    section; probe cost is pages-touched, not file size."""
+    hdr_fmt = "<QQQQ?"
+    hdr_len = struct.calcsize(hdr_fmt)
+    with open(path, "rb") as f:
+        head = f.read(hdr_len)
+    if len(head) < hdr_len:
+        raise ValueError("truncated gqf file: header missing")
+    version, entries, q_bits, storage_bits, bit_packed = struct.unpack(
+        hdr_fmt, head)
+    if version != _GQF_VERSION:
+        raise ValueError(
+            f"incompatible gqf format: version {version}, "
+            f"expected {_GQF_VERSION}")
+    cfg = QFConfig(
+        counter_bits=int(storage_bits), bit_packed=bool(bit_packed),
+        hash_name=hash_name, q_bits=int(q_bits),
+    )
+    qf = QF(cfg)
+    cls = PackedVector if bit_packed else UnpackedVector
+    offset = hdr_len
+
+    def _section(off: int, bits: int):
+        if bit_packed:
+            with open(path, "rb") as f:
+                f.seek(off)
+                raw = f.read(24)
+            pver, vbits, vsize = struct.unpack("<QQQ", raw)
+            if pver != _GQF_PACKED_VECTOR_VERSION:
+                raise ValueError(
+                    f"packed vector version mismatch: got {pver:#x}")
+            if vbits != bits or vsize != qf.size:
+                raise ValueError(
+                    f"packed vector geometry mismatch: section says "
+                    f"(bits={vbits}, size={vsize}), header implies "
+                    f"(bits={bits}, size={qf.size})")
+            off += 24
+        return _mmap_vector(path, off, cls, bits, qf.size)
+
+    qf.filter, offset = _section(offset, 3 + qf.r_bits)
+    if storage_bits > 0:
+        qf.storage, offset = _section(offset, int(storage_bits))
+    qf.entries = int(entries)
     return qf

@@ -44,7 +44,8 @@ _XX_P5 = U64(2870177450012600261)
 
 def _as_bytes_list(keys: Iterable) -> list[bytes]:
     """Normalize any sequence of str/bytes (incl. pandas Series) to a list
-    of byte strings (str is UTF-8 encoded, matching Spark's string bytes)."""
+    of byte strings (str is UTF-8 encoded, matching Spark's string bytes).
+    Fallback path only — ``_flat_offsets`` ingests via Arrow when it can."""
     out = []
     for k in keys:
         if isinstance(k, bytes):
@@ -60,26 +61,108 @@ def _as_bytes_list(keys: Iterable) -> list[bytes]:
     return out
 
 
-def _pack_rows(byte_list: Sequence[bytes]) -> tuple[np.ndarray, np.ndarray]:
-    """Pack variable-length byte strings into a zero-padded (n, W) uint8
-    matrix (W a multiple of 8) plus a length vector.
+def _flat_offsets(keys) -> tuple[np.ndarray, np.ndarray]:
+    """(flat uint8 byte buffer, int64 offsets[n+1]) for a batch of keys,
+    with NO per-key Python on the common paths: pandas Series / lists of
+    str or bytes go through ``pyarrow.array`` (one C pass; UTF-8 bytes
+    exactly as Spark sees them) and the Arrow offsets/data buffers are
+    reinterpreted zero-copy. Mixed or exotic inputs fall back to the
+    per-key normalizer. None hashes as the empty key."""
+    import pyarrow as pa
 
-    The zero padding is load-bearing: tail handling below reads whole
-    little-endian words and relies on bytes past each key's length being 0.
-    """
-    n = len(byte_list)
-    lengths = np.fromiter((len(b) for b in byte_list), dtype=np.int64, count=n)
-    total = int(lengths.sum())
-    max_len = int(lengths.max()) if n else 0
-    width = max(((max_len + 7) // 8) * 8, 8)
-    buf = np.zeros((max(n, 1), width), dtype=np.uint8)
-    if total:
-        flat = np.frombuffer(b"".join(byte_list), dtype=np.uint8)
-        starts = np.concatenate(([0], np.cumsum(lengths)[:-1]))
-        row_idx = np.repeat(np.arange(n), lengths)
-        col_idx = np.arange(total) - np.repeat(starts, lengths)
-        buf[row_idx, col_idx] = flat
-    return buf, lengths
+    arr = None
+    try:
+        if isinstance(keys, pa.Array):
+            arr = keys
+        elif isinstance(keys, pa.ChunkedArray):
+            arr = keys.combine_chunks()
+        else:
+            arr = pa.array(keys)
+        if pa.types.is_string(arr.type) or pa.types.is_binary(arr.type):
+            arr = arr.cast(pa.large_binary())
+        elif pa.types.is_large_string(arr.type):
+            arr = arr.cast(pa.large_binary())
+        elif not pa.types.is_large_binary(arr.type):
+            arr = None  # ints/floats/etc: not byte keys
+    except (pa.ArrowInvalid, pa.ArrowTypeError, pa.ArrowNotImplementedError):
+        arr = None
+    if arr is not None:
+        if arr.null_count:
+            arr = arr.fill_null(b"")
+        if isinstance(arr, pa.ChunkedArray):  # fill_null may re-chunk
+            arr = arr.combine_chunks()
+        buffers = arr.buffers()
+        offsets = np.frombuffer(buffers[1], dtype=np.int64,
+                                count=len(arr) + 1, offset=arr.offset * 8)
+        data = (np.frombuffer(buffers[2], dtype=np.uint8)
+                if buffers[2] is not None else np.zeros(0, np.uint8))
+        return data, offsets.astype(np.int64, copy=False)
+
+    byte_list = _as_bytes_list(keys)
+    lengths = np.fromiter((len(b) for b in byte_list), dtype=np.int64,
+                          count=len(byte_list))
+    offsets = np.zeros(len(byte_list) + 1, dtype=np.int64)
+    np.cumsum(lengths, out=offsets[1:])
+    flat = (np.frombuffer(b"".join(byte_list), dtype=np.uint8)
+            if offsets[-1] else np.zeros(0, np.uint8))
+    return flat, offsets
+
+
+def _bucketed_hash(core, flat: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """Run a (buf, lengths) hash core over length-bucketed packed rows.
+
+    Rows are grouped by power-of-two padded width (>= 8), so the padded
+    matrix for each bucket is at most ~2x its payload bytes — one 10 kB
+    outlier key no longer inflates the whole batch's matrix to
+    (n x 10 kB) (the round-1 OOM hazard). The zero padding is
+    load-bearing: tail handling reads whole little-endian words and
+    relies on bytes past each key's length being 0."""
+    lengths = np.diff(offsets)
+    n = len(lengths)
+    out = np.empty(n, dtype=U64)
+    if n == 0:
+        return out
+    # power-of-two width class, minimum 8 (one LE word)
+    cls = np.maximum(
+        8, (1 << np.ceil(np.log2(np.maximum(lengths, 1))).astype(np.int64)))
+    for w in np.unique(cls):
+        rows = np.flatnonzero(cls == w)
+        l = lengths[rows]
+        nr = len(rows)
+        w = int(w)
+        base = offsets[rows]
+        if nr >= w // 8 and int(l.sum()):
+            # wide bucket of short keys: gather one 8-byte window per
+            # WORD column (w/8 gathers total), then mask the padding
+            # bytes per word with u64 bit ops — temps stay O(rows),
+            # never O(total bytes)
+            pad = np.zeros(len(flat) + w, dtype=np.uint8)
+            pad[:len(flat)] = flat
+            sw = np.lib.stride_tricks.sliding_window_view(pad, 8)
+            buf = np.empty((nr, w), dtype=np.uint8)
+            for j in range(w // 8):
+                buf[:, 8 * j:8 * j + 8] = sw[base + 8 * j]
+            wv = buf.view("<u8")
+            ones = np.uint64(0xFFFFFFFFFFFFFFFF)
+            with np.errstate(over="ignore"):
+                for j in range(w // 8):
+                    valid = np.clip(l - 8 * j, 0, 8).astype(np.uint64)
+                    mask = np.where(
+                        valid >= 8, ones,
+                        (np.uint64(1) << (valid * np.uint64(8))) - np.uint64(1))
+                    wv[:, j] &= mask
+        else:
+            # few (possibly very long) keys: per-row contiguous memcpy.
+            # NOTE: core time for a multi-megabyte key is dominated by
+            # the per-word python loop (sequential hash chains cannot
+            # vectorize within a key) — keys are urls/shingles in this
+            # engine; keep the murmur/fnv interop path to keys <~64 kB
+            buf = np.zeros((nr, w), dtype=np.uint8)
+            for i in range(nr):
+                s, ln = int(base[i]), int(l[i])
+                buf[i, :ln] = flat[s:s + ln]
+        out[rows] = core(buf, l)
+    return out
 
 
 def murmur64a(keys: Iterable, seed: int = 0) -> np.ndarray:
@@ -89,9 +172,12 @@ def murmur64a(keys: Iterable, seed: int = 0) -> np.ndarray:
     full 8-byte little-endian chunks are mixed with M/R, the 1..7-byte tail
     is XORed in as a zero-padded LE word, then the 3-step finalizer runs.
     """
-    byte_list = _as_bytes_list(keys)
-    buf, lengths = _pack_rows(byte_list)
-    n = len(byte_list)
+    flat, offsets = _flat_offsets(keys)
+    return _bucketed_hash(lambda b, l: _murmur_core(b, l, seed), flat, offsets)
+
+
+def _murmur_core(buf: np.ndarray, lengths: np.ndarray, seed: int) -> np.ndarray:
+    n = len(lengths)
     words = buf.view("<u8")
     with np.errstate(over="ignore"):
         h = (U64(seed) ^ (lengths.astype(U64) * _MUR_M)).astype(U64)
@@ -127,10 +213,13 @@ def murmur64a(keys: Iterable, seed: int = 0) -> np.ndarray:
 def fnv1a(keys: Iterable) -> np.ndarray:
     """Batch FNV-64 in the reference's variant (multiply-then-xor per byte,
     i.e. classic FNV-1; reference hash.go:14-22 names it ``fnvhash``)."""
-    byte_list = _as_bytes_list(keys)
-    buf, lengths = _pack_rows(byte_list)
-    n = len(byte_list)
-    h = np.full(max(n, 1), _FNV_OFFSET, dtype=U64)
+    flat, offsets = _flat_offsets(keys)
+    return _bucketed_hash(_fnv_core, flat, offsets)
+
+
+def _fnv_core(buf: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+    n = len(lengths)
+    h = np.full(n, _FNV_OFFSET, dtype=U64)
     with np.errstate(over="ignore"):
         for j in range(int(lengths.max()) if n else 0):
             act = np.flatnonzero(lengths > j)
@@ -140,7 +229,7 @@ def fnv1a(keys: Iterable) -> np.ndarray:
             hj *= _FNV_PRIME
             hj ^= buf[act, j].astype(U64)
             h[act] = hj
-    return h[:n]
+    return h
 
 
 def _rotl(x: np.ndarray, r: int) -> np.ndarray:
@@ -153,9 +242,13 @@ def xxhash64(keys: Iterable, seed: int = 42) -> np.ndarray:
     ``F.xxhash64`` over string/binary columns (verified in tests), so a
     filter built from Spark-computed hashes can be probed from plain
     Python and vice versa."""
-    byte_list = _as_bytes_list(keys)
-    buf, lengths = _pack_rows(byte_list)
-    n = len(byte_list)
+    flat, offsets = _flat_offsets(keys)
+    return _bucketed_hash(lambda b, l: _xxhash_core(b, l, seed),
+                          flat, offsets)
+
+
+def _xxhash_core(buf: np.ndarray, lengths: np.ndarray, seed) -> np.ndarray:
+    n = len(lengths)
     if n == 0:
         return np.zeros(0, dtype=U64)
     words = buf.view("<u8")

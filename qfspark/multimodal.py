@@ -33,23 +33,26 @@ FEATURE_DIM = 16  # histogram buckets + moments
 
 
 def _try_real_decoder(kind: str):
-    """Return a real decoder when the media libs exist; None otherwise."""
+    """Return a real decoder callable when one is wired in; None means
+    "use the deterministic fake featurizer".
+
+    A production decoder is intentionally NOT shipped in this build (the
+    media libraries are absent from the target container); the probe must
+    therefore NEVER raise — merely having PIL/soundfile installed on a
+    cluster node does not mean a decoder exists, and raising from a probe
+    inside mapInPandas would fail the whole stage. Plug a real decoder in
+    by returning a ``bytes -> np.ndarray[FEATURE_DIM]`` callable here."""
     try:  # pragma: no cover - libs absent in this container
         if kind == "image":
             import PIL.Image  # noqa: F401
-
-            raise NotImplementedError(
-                "real image decode is intentionally stubbed in this build; "
-                "plug a PIL-based decoder here"
-            )
-        if kind == "audio":
+        elif kind == "audio":
             import soundfile  # noqa: F401
-
-            raise NotImplementedError(
-                "real audio decode is intentionally stubbed in this build"
-            )
+        else:
+            return None
     except ImportError:
         return None
+    # libs importable, but no production decoder is wired in this build:
+    # fall back to the deterministic featurizer
     return None
 
 

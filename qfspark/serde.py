@@ -43,9 +43,29 @@ def _vector_to_bytes(vec) -> bytes:
     return struct.pack("<Q", len(words)) + words.tobytes()
 
 
+def expected_words(cls, bits: int, size: int) -> int:
+    """Word count a (bits, size) vector must serialize to — validated on
+    load so truncated/corrupt payloads fail at parse time with a clear
+    error instead of as IndexErrors mid-probe."""
+    from .vector import _words_required
+
+    return _words_required(bits, size) if cls is PackedVector else size
+
+
 def _vector_from_bytes(payload, offset, cls, bits, size):
+    if len(payload) < offset + 8:
+        raise ValueError("truncated payload: vector length field missing")
     (nwords,) = struct.unpack_from("<Q", payload, offset)
     offset += 8
+    want = expected_words(cls, bits, size)
+    if nwords != want:
+        raise ValueError(
+            f"corrupt payload: vector has {nwords} words, geometry "
+            f"(bits={bits}, size={size}) requires {want}")
+    if len(payload) < offset + nwords * 8:
+        raise ValueError(
+            f"truncated payload: vector needs {nwords * 8} bytes, "
+            f"{len(payload) - offset} remain")
     words = np.frombuffer(payload, dtype="<u8", count=nwords, offset=offset).copy()
     offset += nwords * 8
     return cls(bits, size, words), offset
@@ -134,7 +154,11 @@ def _gqf_vector_from_bytes(payload, offset, bit_packed, bits, size):
                 f"packed vector version mismatch: got {version:#x}, "
                 f"expected {_GQF_PACKED_VECTOR_VERSION:#x}"
             )
-        bits, size = vbits, vsize
+        if vbits != bits or vsize != size:
+            raise ValueError(
+                f"packed vector geometry mismatch: section says "
+                f"(bits={vbits}, size={vsize}), filter header implies "
+                f"(bits={bits}, size={size})")
     return _vector_from_bytes(payload, offset, cls, bits, size)
 
 

@@ -70,6 +70,43 @@ def test_open_any_both_formats(tmp_path):
         assert ro.entries == qf.entries
         assert ro.contains(TEST_STRINGS[0])
         assert not ro.contains("definitely-not-present-xyz")
+        # BOTH formats open zero-load: word arrays are memory-mapped,
+        # not read (reference Disk parity for its own files, disk.go:31-72)
+        import numpy as np
+
+        assert isinstance(ro.filter.words, np.memmap)
+        assert isinstance(ro.storage.words, np.memmap)
+
+
+@pytest.mark.parametrize("bit_packed", [False, True])
+def test_gqf_zero_load_large_file(tmp_path, bit_packed):
+    """A large go-qfext-format file answers probes identically via the
+    memmap path (walk mode: pay-per-probe page faults, no full load)."""
+    import numpy as np
+
+    from qfspark.disk import open_readonly_gqf
+    from qfspark.serde import qf_from_gqf_bytes, qf_to_gqf_bytes
+
+    keys = [f"url-{i}" for i in range(200_000)]
+    qf = QF.from_keys(
+        keys, config=QFConfig(counter_bits=4, bit_packed=bit_packed,
+                              hash_name="murmur64a"))
+    path = str(tmp_path / "big.qf")
+    blob = qf_to_gqf_bytes(qf)
+    with open(path, "wb") as f:
+        f.write(blob)
+
+    ro = open_readonly_gqf(path)
+    assert isinstance(ro.filter.words, np.memmap)
+    assert len(ro) == len(qf)
+    full = qf_from_gqf_bytes(blob)
+    probes = keys[::1000] + [f"absent-{i}" for i in range(50)]
+    from qfspark.hashing import hash_bytes
+
+    hv = hash_bytes(probes, "murmur64a")
+    f1, c1 = ro.lookup_hashes(hv, mode="walk")
+    f2, c2 = full.lookup_hashes(hv)
+    assert (f1 == f2).all() and (c1 == c2).all()
 
 
 def test_sharded_to_qf_roundtrip(spark=None):

@@ -90,3 +90,52 @@ def test_hash_name_travels():
 def test_bad_magic_rejected():
     with pytest.raises(ValueError):
         qf_from_bytes(b"XXXX" + b"\0" * 40)
+
+
+def test_corrupt_payload_clean_errors():
+    """Truncated or corrupt payloads fail at parse time with ValueError,
+    not as numpy IndexErrors mid-probe."""
+    import pytest
+
+    from qfspark.kernel import QF
+    from qfspark.serde import qf_from_bytes, qf_to_bytes
+    from qfspark.sizing import QFConfig
+
+    qf = QF.from_keys([f"k{i}" for i in range(1000)],
+                      config=QFConfig(counter_bits=8))
+    blob = qf_to_bytes(qf)
+
+    with pytest.raises(ValueError):
+        qf_from_bytes(blob[: len(blob) // 2])  # truncated vector bytes
+
+    # corrupt the filter vector's word-count field (right after header)
+    import struct
+
+    hdr = struct.calcsize("<4sHBBBBHQ") + len(qf.config.hash_name)
+    bad = bytearray(blob)
+    struct.pack_into("<Q", bad, hdr, 7)  # absurd word count
+    with pytest.raises(ValueError, match="words"):
+        qf_from_bytes(bytes(bad))
+
+    with pytest.raises(ValueError):
+        qf_from_bytes(b"garbage-not-a-filter")
+
+
+def test_gqf_geometry_validation():
+    import struct
+
+    import pytest
+
+    from qfspark.kernel import QF
+    from qfspark.serde import qf_from_gqf_bytes, qf_to_gqf_bytes
+    from qfspark.sizing import QFConfig
+
+    qf = QF.from_keys([f"k{i}" for i in range(500)],
+                      config=QFConfig(counter_bits=4, bit_packed=True,
+                                      hash_name="murmur64a"))
+    blob = bytearray(qf_to_gqf_bytes(qf))
+    # tamper with the packed section's size field (header offset 33 + 16)
+    hdr = struct.calcsize("<QQQQ?")
+    struct.pack_into("<Q", blob, hdr + 16, 12345)
+    with pytest.raises(ValueError, match="geometry"):
+        qf_from_gqf_bytes(bytes(blob))

@@ -247,3 +247,22 @@ def test_sample_frames_shapes(spark):
     per = frames.groupby("media_id")["frame_no"].max()
     assert (per <= 2).all()
     assert (frames["frame"].map(len) <= 128).all()
+
+
+def test_media_decoder_probe_never_raises(monkeypatch):
+    """Media libs being importable must NOT crash the feature probe
+    (round-1 defect: NotImplementedError escaped when PIL existed)."""
+    import sys
+    import types
+
+    from qfspark import multimodal
+
+    fake_pil = types.ModuleType("PIL")
+    fake_pil.Image = types.ModuleType("PIL.Image")
+    monkeypatch.setitem(sys.modules, "PIL", fake_pil)
+    monkeypatch.setitem(sys.modules, "PIL.Image", fake_pil.Image)
+    monkeypatch.setitem(sys.modules, "soundfile", types.ModuleType("soundfile"))
+
+    assert multimodal._try_real_decoder("image") is None
+    assert multimodal._try_real_decoder("audio") is None
+    assert multimodal._try_real_decoder("video") is None
