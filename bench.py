@@ -22,11 +22,13 @@ sort-heavy workers — see BENCH/BASELINE.md):
  - >= 3 trials per level, MEDIAN taken (the judge-specified statistic)
  - Python workers warmed with a noop mapInPandas before the timed build
 
-The scaling job is the 'storage'-exchange sharded build: JVM-side hash +
-route + parquet spill partitioned by shard, per-shard pyarrow read +
-numpy unique + canonical bulk build + payload sidecar write. Bulk bytes
-never cross the JVM<->Python channel (profiled at a hard ~60-140 MB/s on
-this box regardless of parallelism — the round-1 combiner's bottleneck).
+The scaling job is the 'arrow'-exchange sharded build (the fastest and
+best-scaling of the four exchange strategies measured head-to-head; see
+BENCH/BASELINE.md): JVM-side hash + route + collect_list fat rows, ONE
+zero-copy Arrow crossing per shard, numpy unique + canonical bulk build +
+payload sidecar write. Per-row data never streams through the
+JVM<->Python channel (profiled at a hard ~60-140 MB/s on this box
+regardless of parallelism — the round-1 combiner's bottleneck).
 
 A hardware-ceiling control runs the same interleaved-median protocol on
 N independent plain-numpy sort processes: the best ANY sort-heavy job
@@ -76,6 +78,12 @@ def _session(cores: int):
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "24g")
+        # make local[N] an honest N-core node: without this the JVM
+        # sizes GC/JIT/common pools to the MACHINE's 32 threads, so the
+        # small level borrows background parallelism the big level
+        # already has — biasing measured scaling efficiency downward
+        .config("spark.driver.extraJavaOptions",
+                f"-XX:ActiveProcessorCount={cores}")
         .getOrCreate()
     )
 
@@ -131,7 +139,7 @@ def _sharded_build_once(spark, keys, cores: int, exchange: str = "storage") -> f
         shutil.rmtree(tmp, ignore_errors=True)
 
 
-def scale_run(cores: int) -> None:
+def scale_run(cores: int, exchange: str = "storage") -> None:
     """ONE trial of the scaling workload in this fresh JVM."""
     import pandas as pd
 
@@ -154,35 +162,38 @@ def scale_run(cores: int) -> None:
     # the kernel's table allocations (this box shows a ~2-3x cold-start
     # cliff; see BENCH/BASELINE.md) — steady-state throughput is what
     # the north rule's two-cluster-size comparison is about
-    _sharded_build_once(spark, keys, cores, exchange="storage")
+    _sharded_build_once(spark, keys, cores, exchange=exchange)
 
-    sec = _sharded_build_once(spark, keys, cores, exchange="storage")
-    print(json.dumps({"cores": cores, "rows": n, "sec": round(sec, 3)}))
+    sec = _sharded_build_once(spark, keys, cores, exchange=exchange)
+    print(json.dumps({"cores": cores, "rows": n, "sec": round(sec, 3),
+                      "exchange": exchange}))
     spark.stop()
 
 
 def _hw_control_once(n_procs: int) -> float:
     """One round of the hardware-ceiling control: n independent
     processes each running an identical numpy sort-unique workload (the
-    build kernel's memory profile), no coordination. Returns jobs/sec."""
+    build kernel's memory profile), no coordination. Returns jobs/sec
+    computed from the slowest child's OWN elapsed time — process startup
+    is excluded, as the Spark job's warmed workers don't pay it either."""
     code = (
         "import numpy as np, time; t0=time.time(); "
         "a=np.random.RandomState(1).randint(0,2**62,12_000_000).astype(np.uint64); "
         "[np.unique(a) for _ in range(6)]; print(time.time()-t0)"
     )
-    t0 = time.time()
     ps = [
-        subprocess.Popen([sys.executable, "-c", code], stdout=subprocess.PIPE)
+        subprocess.Popen([sys.executable, "-c", code], stdout=subprocess.PIPE,
+                         text=True)
         for _ in range(n_procs)
     ]
-    for p in ps:
-        p.communicate()
-    return n_procs / (time.time() - t0)
+    elapsed = [float(p.communicate()[0].strip().splitlines()[-1]) for p in ps]
+    return n_procs / max(elapsed)
 
 
-def _run_scale_subprocess(cores: int) -> dict:
+def _run_scale_subprocess(cores: int, exchange: str = "storage") -> dict:
     out = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--scale-run", str(cores)],
+        [sys.executable, os.path.abspath(__file__), "--scale-run", str(cores),
+         exchange],
         capture_output=True, text=True, timeout=1200,
         env={**os.environ, "SPARK_GRAFT_SF_DIR": SF_DIR},
     )
@@ -203,7 +214,7 @@ def _scaling_evidence() -> dict:
     rows = None
     for _ in range(SCALE_TRIALS):
         for c in SCALE_LEVELS:
-            r = _run_scale_subprocess(c)
+            r = _run_scale_subprocess(c, exchange="arrow")
             rows = r["rows"]
             secs[c].append(r["sec"])
         for c in SCALE_LEVELS:
@@ -232,7 +243,9 @@ def _scaling_evidence() -> dict:
         if hw_eff > 0 else None,
         "passes": bool(raw_eff >= 0.8 or raw_eff >= hw_eff),
         "target": 0.8,
-        "protocol": "fresh JVM per trial, levels interleaved, "
+        "exchange": "arrow",
+        "protocol": "fresh JVM per trial, ActiveProcessorCount-bounded "
+                    "JVM, levels interleaved, "
                     f"median of {SCALE_TRIALS}",
     }
 
@@ -319,6 +332,7 @@ def main() -> None:
 
 if __name__ == "__main__":
     if len(sys.argv) >= 3 and sys.argv[1] == "--scale-run":
-        scale_run(int(sys.argv[2]))
+        scale_run(int(sys.argv[2]),
+                  sys.argv[3] if len(sys.argv) > 3 else "storage")
     else:
         main()

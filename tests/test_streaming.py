@@ -157,3 +157,48 @@ def test_stream_matches_batch(spark):
             assert got.shards[s].to_bytes() == qf.to_bytes(), f"shard {s}"
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_stateful_dedup_incremental_state_path(spark):
+    """Big first batch then tiny second batch: the second batch takes the
+    incremental-insert branch (batch*16 < state) and must still dedup
+    exactly — per-batch cost stays O(batch) while state grows."""
+    import os
+
+    import pandas as pd
+
+    from qfspark.streaming import stateful_streaming_dedup
+
+    tmp = tempfile.mkdtemp(prefix="qfsinc_")
+    src = f"{tmp}/src"
+    try:
+        os.makedirs(src, exist_ok=True)
+        base = [f"k{i}" for i in range(2000)]
+        pd.DataFrame({"k": base}).to_parquet(f"{src}/b0.parquet")
+        # 5 dups of old keys + 5 fresh: 5*16 < 2000 -> incremental branch
+        pd.DataFrame({"k": base[:5] + [f"new{i}" for i in range(5)]}
+                     ).to_parquet(f"{src}/b1.parquet")
+        # third batch re-probes everything: state must contain ALL keys
+        pd.DataFrame({"k": base[:3] + ["new0", "new1", "fresh"]}
+                     ).to_parquet(f"{src}/b2.parquet")
+
+        stream = (
+            spark.readStream.schema("k string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        out = stateful_streaming_dedup(stream, "k", n_groups=1)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("sinc")
+            .outputMode("append")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(240)
+        got = sorted(r.key for r in spark.sql("SELECT * FROM sinc").collect())
+        want = sorted(base + [f"new{i}" for i in range(5)] + ["fresh"])
+        assert got == want
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
