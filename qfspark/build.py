@@ -512,6 +512,19 @@ def build_sharded_qf(
         except Exception:
             done = set()
 
+    if exchange == "auto":
+        # pick the physical exchange from the data: heavy key duplication
+        # means the partition-local combiner ('combine') shrinks the
+        # exchange by the dup factor BEFORE any data moves (and keeps the
+        # JVM-side fat-row aggregation buffers small); near-unique keys
+        # mean 'arrow' wins (one zero-copy channel crossing per shard).
+        # Probed on a bounded prefix — a heuristic, not an exact census.
+        probe = hashed.limit(200_000)
+        n_probe = probe.count()
+        n_distinct = probe.distinct().count()
+        dup_ratio = n_probe / max(n_distinct, 1)
+        exchange = "combine" if dup_ratio >= 4 else "arrow"
+
     if exchange == "arrow":
         shards_df = _exchange_arrow(hashed, sb, config, done, payload_dir)
     elif exchange == "storage":

@@ -155,20 +155,24 @@ def annotate_via_shard_table(
     ceil(defaultParallelism / shard_count), so total probe tasks ~= the
     cluster's parallelism. Duplicate shard rows (appended re-builds) are
     resolved to the newest ``build_ts``.
+
+    All input columns pass through (same contract as ``annotate``), and
+    NULL keys report unseen (the build-side NULL policy's probe half).
     """
     first = shards_df.select("shard_bits", "hash_name").limit(1).collect()[0]
     sb, hash_name = int(first.shard_bits), first.hash_name
-    key_dtype = df.schema[col].dataType.simpleString()
     spark = df.sparkSession
     if probe_splits is None:
         par = spark.sparkContext.defaultParallelism
         probe_splits = max(1, -(-par // max(1, 1 << sb)))
 
+    passthrough = [c for c in df.columns
+                   if c not in (seen_col, count_col)]
     hashed = df.select(
-        F.col(col).alias("_qf_key"),
+        *passthrough,
         hash_column(col, hash_name, _dtype_of(df, col)).alias("_qf_h"),
     ).withColumn(
-        "shard",
+        "_qf_shard",
         F.shiftrightunsigned(F.col("_qf_h"), 64 - sb) if sb
         else F.lit(0).cast("long"),
     ).withColumn(
@@ -177,21 +181,20 @@ def annotate_via_shard_table(
         "_qf_salt", F.pmod(F.col("_qf_h"), F.lit(probe_splits)).cast("long"),
     )
 
-    shard_cols = shards_df.select("shard", "payload", "payload_path",
-                                  "build_ts")
+    shard_cols = shards_df.select(
+        F.col("shard").alias("_qf_shard"), "payload", "payload_path",
+        "build_ts")
     replicated = shard_cols.withColumn(
         "_qf_salt",
         F.explode(F.sequence(F.lit(0).cast("long"),
                              F.lit(probe_splits - 1).cast("long"))),
     )
-
     def _probe_group(probes: pd.DataFrame, shard_rows: pd.DataFrame) -> pd.DataFrame:
+        out = probes[passthrough].copy()
         if len(probes) == 0:
-            return pd.DataFrame(
-                {"_qf_key": probes["_qf_key"],
-                 seen_col: pd.Series([], dtype=bool),
-                 count_col: pd.Series([], dtype="int64")}
-            )
+            out[seen_col] = pd.Series([], dtype=bool)
+            out[count_col] = pd.Series([], dtype="int64")
+            return out
         hv = probes["_qf_h"].to_numpy(dtype=np.int64).view(np.uint64)
         local = hv << np.uint64(sb)
         if len(shard_rows) == 0:
@@ -202,18 +205,39 @@ def annotate_via_shard_table(
             qf = qf_from_bytes(shard_payload_bytes(newest))
             f, c = qf.lookup_hashes(local)
             found, counts = f, c.astype(np.int64)
-        return pd.DataFrame(
-            {"_qf_key": probes["_qf_key"].to_numpy(),
-             seen_col: found, count_col: counts}
-        )
+        # NULL policy: a NULL key is never a member (builds drop NULLs)
+        isnull = probes[col].isna().to_numpy()
+        found = np.where(isnull, False, found)
+        counts = np.where(isnull, 0, counts)
+        out[seen_col] = found
+        out[count_col] = counts
+        return out
 
-    out_schema = f"_qf_key {key_dtype}, {seen_col} boolean, {count_col} long"
-    probed = (
-        hashed.groupBy("shard", "_qf_salt")
-        .cogroup(replicated.groupBy("shard", "_qf_salt"))
+    from pyspark.sql.types import BooleanType, LongType, StructField, StructType
+
+    out_schema = StructType(
+        [df.schema[c] for c in passthrough]
+        + [StructField(seen_col, BooleanType(), False),
+           StructField(count_col, LongType(), False)]
+    )
+    return (
+        hashed.groupBy("_qf_shard", "_qf_salt")
+        .cogroup(replicated.groupBy("_qf_shard", "_qf_salt"))
         .applyInPandas(_probe_group, schema=out_schema)
     )
-    return probed.withColumnRenamed("_qf_key", col)
+
+
+def filter_unseen_via_shard_table(df: DataFrame, col: str,
+                                  shards_df: DataFrame,
+                                  probe_splits: int | None = None) -> DataFrame:
+    """``filter_unseen`` against a checkpointed shard table, broadcasting
+    nothing — the incremental-crawl anti-join at 10^12-entry filter scale
+    (any one shard may be ~1 GB; no executor ever holds more than the one
+    shard its task probes)."""
+    out = annotate_via_shard_table(
+        df, col, shards_df, seen_col="_qf_seen", count_col="_qf_cnt",
+        probe_splits=probe_splits)
+    return out.where(~F.col("_qf_seen")).drop("_qf_seen", "_qf_cnt")
 
 
 def filter_unseen(df: DataFrame, col: str, qf) -> DataFrame:

@@ -165,3 +165,46 @@ def test_null_keys_dropped_and_never_members(spark):
     sharded_rows = build_sharded_qf(df, "key", shard_bits=1,
                                     config=cfg).collect()
     assert sum(r.entries for r in sharded_rows) == 2
+
+
+def test_exchange_auto_picks_by_dup_ratio(spark):
+    cfg = QFConfig(counter_bits=16, hash_name="xxhash64")
+    uniq = spark.createDataFrame([(f"u{i}",) for i in range(3000)],
+                                 "key string")
+    heavy = spark.createDataFrame([(f"d{i % 50}",) for i in range(3000)],
+                                  "key string")
+    # both must build correctly whatever strategy auto picks, and the
+    # artifacts must equal the explicit-strategy ones byte-for-byte
+    for df in (uniq, heavy):
+        auto = _payloads(build_sharded_qf(df, "key", shard_bits=2,
+                                          config=cfg, exchange="auto"))
+        arrow = _payloads(build_sharded_qf(df, "key", shard_bits=2,
+                                           config=cfg, exchange="arrow"))
+        assert auto == arrow  # canonical bytes are strategy-independent
+
+
+def test_filter_unseen_via_shard_table(spark, keys_df):
+    from qfspark.lookup import filter_unseen_via_shard_table
+
+    cfg = QFConfig(counter_bits=16, hash_name="xxhash64")
+    shards_df = build_sharded_qf(keys_df, "key", shard_bits=2, config=cfg)
+    probes = spark.createDataFrame(
+        [(f"key-{i}", i) for i in range(650, 760)], "key string, ord int")
+    out = filter_unseen_via_shard_table(probes, "key", shards_df)
+    # keys 650..699 were built; 700..759 are fresh
+    got = sorted((r.key, r.ord) for r in out.collect())
+    want = sorted((f"key-{i}", i) for i in range(700, 760))
+    assert got == want  # zero false negatives: nothing built leaks through
+    assert out.columns == ["key", "ord"]
+
+
+def test_annotate_via_shard_table_passthrough_and_nulls(spark, keys_df):
+    cfg = QFConfig(counter_bits=16, hash_name="xxhash64")
+    shards_df = build_sharded_qf(keys_df, "key", shard_bits=2, config=cfg)
+    probes = spark.createDataFrame(
+        [("key-1", 10), (None, 20), ("nope", 30)], "key string, extra int")
+    rows = {r.extra: r for r in
+            annotate_via_shard_table(probes, "key", shards_df).collect()}
+    assert rows[10].qf_seen and rows[10].qf_count == 3
+    assert not rows[20].qf_seen and rows[20].qf_count == 0  # NULL never member
+    assert not rows[30].qf_seen
