@@ -305,12 +305,15 @@ def main() -> None:
     keys6m.unpersist()
 
     # headline: sharded durable build on the scaling workload, both
-    # exchange strategies
+    # exchange strategies; best of 2 (trial 1 in a JVM pays JIT +
+    # first-touch costs — see the scaling protocol notes)
     keys = _scaling_keys(spark, SF_DIR, SCALE_MULT, CPUS).cache()
     rows_built = keys.count()
-    arrow_sec = _sharded_build_once(spark, keys, CPUS, exchange="arrow")
+    arrow_sec = min(_sharded_build_once(spark, keys, CPUS, exchange="arrow")
+                    for _ in range(2))
     timings[f"cqf_build_sharded_arrow_{rows_built // 1_000_000}m"] = round(arrow_sec, 3)
-    storage_sec = _sharded_build_once(spark, keys, CPUS, exchange="storage")
+    storage_sec = min(_sharded_build_once(spark, keys, CPUS, exchange="storage")
+                      for _ in range(2))
     timings[f"cqf_build_sharded_storage_{rows_built // 1_000_000}m"] = round(storage_sec, 3)
     build_sec = min(arrow_sec, storage_sec)
     spark.stop()

@@ -72,7 +72,11 @@ def _vector_from_bytes(payload, offset, cls, bits, size):
 
 
 def qf_to_bytes(qf) -> bytes:
-    """Serialize a filter in the native format."""
+    """Serialize a filter in the native format.
+
+    Single-copy: word arrays land in the output buffer exactly once
+    (the analog of the reference's unsafe zero-copy fast path,
+    util.go:24-67 — its ~12-15x win over field-wise encoding)."""
     hash_name = qf.config.hash_name.encode("ascii")
     header = struct.pack(
         "<4sHBBBBHQ",
@@ -85,10 +89,13 @@ def qf_to_bytes(qf) -> bytes:
         0,  # reserved
         qf.entries,
     )
-    out = [header, hash_name, _vector_to_bytes(qf.filter)]
-    if qf.storage is not None:
-        out.append(_vector_to_bytes(qf.storage))
-    return b"".join(out)
+    vecs = [qf.filter] + ([qf.storage] if qf.storage is not None else [])
+    parts = [header, hash_name]
+    for v in vecs:
+        w = np.ascontiguousarray(v.words, dtype="<u8")
+        parts.append(struct.pack("<Q", len(w)))
+        parts.append(memoryview(w).cast("B"))  # zero-copy view; join copies once
+    return b"".join(parts)
 
 
 def qf_from_bytes(payload: bytes):

@@ -73,6 +73,37 @@ def main():
     check("synthesis is pure projection", p4, r"Project")
     check("no python in synthesis", p4, r"EvalPython", must_exist=False)
 
+    # 5. arrow-exchange sharded build: routing + fat-row aggregation are
+    # JVM-side; Python appears ONLY as the per-shard applyInArrow node,
+    # and no per-row Python eval exists anywhere in the plan
+    from qfspark.build import _routed, with_hash as _wh
+
+    hashed_keys = _wh(wp.select("url"), "url").select("qf_hash")
+    fat = _routed(hashed_keys, 4).groupBy("shard").agg(
+        F.collect_list("lh").alias("hv"))
+    p5 = plan_of(fat)
+    check("shard routing in codegen", p5, r"shiftright|shard", flags=re.I)
+    check("fat rows via object hash agg", p5, r"ObjectHashAggregate")
+    check("partial collect_list map-side", p5, r"partial_collect_list")
+    check("no row-python in fat-row stage", p5, r"EvalPython", must_exist=False)
+
+    # 6. shard-table probe: cogroup node present, probe stream salted
+    # (parallelism decoupled from shard count), no broadcast of payloads
+    from qfspark.build import build_sharded_qf
+    from qfspark.lookup import annotate_via_shard_table
+
+    shards_df = build_sharded_qf(wp, "url", shard_bits=2,
+                                 config=QFConfig(counter_bits=8,
+                                                 hash_name="xxhash64"))
+    probed2 = annotate_via_shard_table(wp.select("url"), "url", shards_df,
+                                       probe_splits=4)
+    p6 = plan_of(probed2)
+    check("shard-table probe is a pandas cogroup", p6,
+          r"FlatMapCoGroupsInPandas")
+    check("probe stream salted for sub-splits", p6, r"_qf_salt")
+    check("no broadcast of shard payloads", p6, r"BroadcastExchange",
+          must_exist=False)
+
     spark.stop()
     print("\n%d failures" % len(failures))
     sys.exit(1 if failures else 0)
