@@ -28,7 +28,7 @@ from .hashing import murmur64a, fnv1a, xxhash64, hash_bytes, HASH_FNS
 from .kernel import QF
 from .vector import PackedVector, UnpackedVector
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = [
     "QF",
