@@ -122,6 +122,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": lambda s, d: textops.text_stats(_docs(s, d)),
         "lang_id": lambda s, d: textops.lang_id(_docs(s, d)),
         "fingerprint": lambda s, d: textops.fingerprint(_docs(s, d)),
+        "token_counts": lambda s, d: textops.token_counts(_docs(s, d)),
+        "rolling_fingerprint": lambda s, d: textops.rolling_fingerprint(
+            _docs(s, d)
+        ),
         "exact_dedup": lambda s, d: dedup.exact_dedup(_docs(s, d)),
         # signature returned as a joined string so the array hashes
         # identically regardless of the comparator's list representation
@@ -239,6 +243,8 @@ def oracle_sql() -> dict[str, str]:
         "text_stats": textops.duckdb_text_stats_sql(),
         "lang_id": textops.duckdb_lang_id_sql(),
         "fingerprint": textops.duckdb_fingerprint_sql(),
+        "token_counts": textops.duckdb_token_counts_sql(),
+        "rolling_fingerprint": textops.duckdb_rolling_fingerprint_sql(),
         "exact_dedup": dedup.DUCKDB_EXACT_DEDUP_SQL,
         "minhash_signatures": (
             "SELECT doc_id, array_to_string(sig, ',') AS sig FROM ("

@@ -162,3 +162,107 @@ def duckdb_fingerprint_sql(col: str = "text") -> str:
         SELECT doc_id, md5({col}) AS fp_md5, {duckdb_hash60(col)} AS fp60
         FROM documents
     """
+
+
+# ---------------------------------------------------------------------------
+# BPE-ish token counting
+# ---------------------------------------------------------------------------
+
+#: GPT-2-flavored pre-tokenizer pattern, restricted to syntax Java regex
+#: (Spark) and RE2 (DuckDB) treat identically (no lookarounds, no \p
+#: classes, no backslash escapes — the two engines' SQL string literals
+#: disagree about backslashes): contraction suffixes, letter runs, digit
+#: runs of <=3 (BPE tokenizers split long numbers), punctuation runs.
+BPE_PATTERN = "'(?:[sdmt]|ll|ve|re)|[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9 ']+"
+
+#: the same pattern as a SQL single-quoted literal (quotes doubled)
+_BPE_SQL = BPE_PATTERN.replace("'", "''")
+
+
+def token_counts(df: DataFrame, col: str = "text") -> DataFrame:
+    """Token counts under both tokenizers a training-data pipeline uses:
+    whitespace words (``n_ws_tokens``) and a BPE-ish regex pre-tokenizer
+    (``n_bpe_tokens``) — the usual budget estimate for LLM corpus sizing.
+    Pure codegen expressions (regexp_extract_all), no Python."""
+    return df.select(
+        "doc_id",
+        F.expr(f"size(split({col}, ' '))").alias("n_ws_tokens"),
+        F.expr(
+            f"size(regexp_extract_all({col}, '{_BPE_SQL}', 0))"
+        ).alias("n_bpe_tokens"),
+    )
+
+
+def duckdb_token_counts_sql(col: str = "text") -> str:
+    return f"""
+        SELECT doc_id,
+               len(string_split({col}, ' ')) AS n_ws_tokens,
+               len(regexp_extract_all({col}, '{_BPE_SQL}')) AS n_bpe_tokens
+        FROM documents
+    """
+
+
+# ---------------------------------------------------------------------------
+# rolling-hash (Rabin-style) window fingerprints
+# ---------------------------------------------------------------------------
+
+#: polynomial rolling-hash parameters: base 31, modulus a prime below
+#: 2^53 so Horner steps (h*31 + c) never overflow a signed 64-bit int in
+#: either engine
+ROLL_BASE = 31
+ROLL_MOD = 9007199254740881
+
+
+def _spark_roll_expr(col: str, k: int) -> str:
+    win = f"substring({col}, i, {k})"
+    horner = (
+        f"aggregate(transform(sequence(1, {k}), j -> ascii(substring({win}, j, 1))), "
+        f"CAST(0 AS BIGINT), (h, c) -> (h * {ROLL_BASE} + c) % {ROLL_MOD})"
+    )
+    return (
+        f"CASE WHEN length({col}) < {k} THEN array(CAST(0 AS BIGINT)) ELSE "
+        f"transform(sequence(1, length({col}) - {k} + 1), i -> {horner}) END"
+    )
+
+
+def rolling_fingerprint(df: DataFrame, col: str = "text",
+                        k: int = 8) -> DataFrame:
+    """Rabin-style rolling-hash document fingerprint: the polynomial hash
+    h(w) = sum c_j * B^(k-1-j) mod M of every k-char window (the exact
+    value an O(n) rolling recurrence produces; computed here as
+    vectorized per-window Horner folds — O(n*k) work, all codegen, no
+    sequential state, so it distributes). Emits the standard summary a
+    fingerprint index stores per document: window count, min-hash of the
+    windows (winnowing-style representative) and their XOR (order-free
+    whole-document digest). Returns
+    (doc_id, n_windows, roll_min, roll_xor)."""
+    arr = _spark_roll_expr(col, k)
+    return df.select(
+        "doc_id",
+        F.expr(f"size({arr})").alias("n_windows"),
+        F.expr(f"array_min({arr})").alias("roll_min"),
+        F.expr(
+            f"aggregate({arr}, CAST(0 AS BIGINT), (a, x) -> a ^ x)"
+        ).alias("roll_xor"),
+    )
+
+
+def duckdb_rolling_fingerprint_sql(col: str = "text", k: int = 8) -> str:
+    win = f"{col}[i:i+{k - 1}]"
+    horner = (
+        f"list_reduce(list_prepend(0::BIGINT, "
+        f"list_transform(range(1, {k} + 1), j -> ascii({win}[j:j]))), "
+        f"(h, c) -> (h * {ROLL_BASE} + c) % {ROLL_MOD})"
+    )
+    arr = (
+        f"CASE WHEN length({col}) < {k} THEN [0::BIGINT] ELSE "
+        f"list_transform(range(1, length({col}) - {k} + 2), i -> {horner}) END"
+    )
+    return f"""
+        SELECT doc_id,
+               len({arr}) AS n_windows,
+               list_min({arr}) AS roll_min,
+               list_reduce(list_prepend(0::BIGINT, {arr}),
+                           (a, x) -> xor(a, x)) AS roll_xor
+        FROM documents
+    """

@@ -266,3 +266,44 @@ def test_media_decoder_probe_never_raises(monkeypatch):
     assert multimodal._try_real_decoder("image") is None
     assert multimodal._try_real_decoder("audio") is None
     assert multimodal._try_real_decoder("video") is None
+
+
+def test_token_counts_bpe_vs_ws(spark):
+    from qfspark.textops import token_counts
+
+    df = spark.createDataFrame(
+        [(1, "I can't stop, won't stop: 12345 times!"),
+         (2, "plain words only here"),
+         (3, "")],
+        "doc_id long, text string")
+    rows = {r.doc_id: r for r in token_counts(df).collect()}
+    # contractions, punctuation and long digit runs split under BPE-ish
+    assert rows[1].n_bpe_tokens > rows[1].n_ws_tokens
+    assert rows[2].n_bpe_tokens == rows[2].n_ws_tokens == 4
+    assert rows[3].n_bpe_tokens == 0
+
+
+def test_rolling_fingerprint_properties(spark):
+    from qfspark.textops import ROLL_MOD, rolling_fingerprint
+
+    df = spark.createDataFrame(
+        [(1, "abcdefghij"), (2, "abcdefghij"), (3, "abcdefghiX"),
+         (4, "short")],
+        "doc_id long, text string")
+    rows = {r.doc_id: r for r in rolling_fingerprint(df, k=8).collect()}
+    # identical text -> identical fingerprint; one char flip changes it
+    assert (rows[1].roll_min, rows[1].roll_xor) == \
+           (rows[2].roll_min, rows[2].roll_xor)
+    assert (rows[1].roll_min, rows[1].roll_xor) != \
+           (rows[3].roll_min, rows[3].roll_xor)
+    assert rows[1].n_windows == 3  # len 10, k 8
+    assert 0 <= rows[1].roll_min < ROLL_MOD
+    # shorter than k: defined, single sentinel window
+    assert rows[4].n_windows == 1
+
+    # the per-window polynomial equals an independent scalar Rabin hash
+    text = "abcdefghij"
+    h = 0
+    for ch in text[:8]:
+        h = (h * 31 + ord(ch)) % ROLL_MOD
+    assert rows[1].roll_min <= h  # h is window 0; min over all windows
