@@ -33,6 +33,10 @@ Two build strategies, both shaped for the 10^12-row design point:
         zero-copy list column per shard. Profiling on this class of
         hardware shows the per-row Arrow channel is the #1 scaling
         bottleneck of any mapInPandas combiner — this path removes it.
+        Scale bound: one shard's pre-unique rows form ONE JVM array row
+        (~8 B x raw occurrences), so size ``shard_bits`` to keep raw
+        rows per shard under ~10^8 (or use 'storage', which has no
+        single-row bound, for very large or duplicate-heavy shards).
 
     ``'storage'`` — the exchange happens through the filesystem instead
         of the Python channel: a pure-JVM stage writes the routed hash
