@@ -496,11 +496,13 @@ def build_sharded_qf(
     reads additionally keep only the newest row per shard).
     """
     if pre_agg is not None:  # deprecated alias from the round-1 API
-        exchange = {"local": "combine", "salted": "salted"}[pre_agg]
+        alias = {"local": "combine", "salted": "salted"}.get(pre_agg)
+        if alias is None:
+            raise ValueError(f"unknown pre_agg mode {pre_agg!r}")
+        exchange = alias
     config = config or QFConfig(hash_name=DEFAULT_HASH, counter_bits=32)
     spark = df.sparkSession
     sb = shard_bits
-    with_counts = config.counter_bits > 0
 
     hashed = with_hash(_keys_nonnull(df, col), col,
                        config.hash_name).select(HASH_COL)
@@ -647,9 +649,13 @@ def _exchange_storage(spark: SparkSession, hashed: DataFrame, sb: int,
 
     cfg = config
     with_counts = cfg.counter_bits > 0
-    todo = [(s,) for s in range(1 << sb) if s not in done]
-    ids_df = spark.createDataFrame(todo, "shard long").repartition(
-        max(len(todo), 1))
+    # enumerate shard ids executor-side (spark.range): at shard_bits=26+
+    # a driver-side python list of 2^sb tuples would be GBs of RAM
+    ids_df = spark.range(1 << sb).withColumnRenamed("id", "shard")
+    if done:
+        done_df = spark.createDataFrame([(s,) for s in done], "shard long")
+        ids_df = ids_df.join(done_df, "shard", "left_anti")
+    ids_df = ids_df.repartition(min(1 << sb, 4096))
 
     def _build_from_spill(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import pyarrow.parquet as pq

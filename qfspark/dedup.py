@@ -201,6 +201,20 @@ def ngram_jaccard(
     intersections then undercount by the dropped shingles, which is the
     documented approximation every production near-dup pipeline makes —
     leave None for the exact oracle semantics)."""
+    if pairs is not None:
+        # dedupe the pair list (duplicate candidate pairs would inflate
+        # the intersection count: 2x|A∩B| for a doubled pair), and prune
+        # the corpus to candidate MEMBERS before the shingle explode —
+        # the shingle set is consumed by three joins below, and pruning
+        # ahead of the explode bounds every recompute by the candidate
+        # membership instead of the corpus (no full-corpus cache needed)
+        pairs = pairs.select("doc_a", "doc_b").distinct()
+        members = (
+            pairs.select(F.col("doc_a").alias("doc_id"))
+            .union(pairs.select(F.col("doc_b").alias("doc_id")))
+            .distinct()
+        )
+        df = df.join(members, "doc_id")
     dsh = _distinct_shingles(df, col, k)
     sizes = dsh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     if pairs is not None:
@@ -344,7 +358,7 @@ def embedding_near_dup(
     col: str = "embedding",
     threshold: float = 0.95,
     method: str = "auto",
-    tables: int = 16,
+    tables: int | None = None,
     planes: int | None = None,
     dim: int = 64,
 ) -> DataFrame:
@@ -371,37 +385,37 @@ def embedding_near_dup(
     it — for weak-similarity thresholds sign-LSH needs so many tables
     that the candidate join EXCEEDS the brute-force cost (at t=0.35,
     p ~ 0.61: ~60 tables for 1e-4 miss ~ 3.75 n^2 candidate pairs), so
-    falling back is the faster AND the complete plan."""
-    from .similarity import cosine_pairs, lsh_bucket_expr, planes_for
+    falling back is the faster AND the complete plan.
+
+    With ``planes=None``/default ``tables``, both are DERIVED from the
+    threshold so the per-pair miss rate at the boundary stays <= ~1e-4:
+    planes is capped at floor(ln 0.25 / ln p) (keeping p^planes >= 0.25)
+    and tables = ceil(ln 1e-4 / ln(1 - p^planes)) — a corpus-scaled
+    plane count alone would quietly push the boundary miss rate past 50%
+    at t=0.8 (p^14 ~ 0.04 with 1M vectors)."""
+    from .similarity import _dot, cosine_pairs, lsh_bucketed, planes_for
 
     if method == "auto":
         method = "lsh" if threshold >= 0.8 else "exact"
     if method == "exact":
         pairs = cosine_pairs(emb_df, id_col, col, threshold)
     elif method == "lsh":
+        import math
+
+        p = 1.0 - math.acos(min(threshold, 1.0)) / math.pi
+        planes_cap = max(2, int(math.log(0.25) / math.log(p)))
         if planes is None:
-            planes = planes_for(emb_df.count())
-        bucket_arr = "array({})".format(
-            ", ".join(
-                f"named_struct('t', {t}, 'bucket', "
-                f"{lsh_bucket_expr(col, planes, dim, t)})"
-                for t in range(tables)
-            )
+            planes = min(planes_for(emb_df.count()), planes_cap)
+        if tables is None:
+            miss_per_table = 1.0 - p ** planes
+            tables = (1 if miss_per_table <= 0 else
+                      min(64, math.ceil(math.log(1e-4)
+                                        / math.log(miss_per_table))))
+        base = lsh_bucketed(emb_df, id_col, col, planes, dim, tables)
+        cos = (
+            f"{_dot('a.emb', 'b.emb')} / "
+            f"(sqrt({_dot('a.emb', 'a.emb')}) * sqrt({_dot('b.emb', 'b.emb')}))"
         )
-        base = emb_df.select(
-            F.col(id_col).alias("id"),
-            F.col(col).alias("emb"),
-            F.explode(F.expr(bucket_arr)).alias("tb"),
-        ).select("id", "emb", F.col("tb.t").alias("t"),
-                 F.col("tb.bucket").alias("bucket"))
-        dot = (
-            "aggregate(zip_with(a.emb, b.emb, (x, y) -> "
-            "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), "
-            "(acc, v) -> acc + v)"
-        )
-        na = dot.replace("a.emb, b.emb", "a.emb, a.emb")
-        nb = dot.replace("a.emb, b.emb", "b.emb, b.emb")
-        cos = f"{dot} / (sqrt({na}) * sqrt({nb}))"
         pairs = (
             base.alias("a")
             .join(base.alias("b"), ["t", "bucket"])

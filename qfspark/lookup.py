@@ -181,7 +181,12 @@ def annotate_via_shard_table(
         "_qf_salt", F.pmod(F.col("_qf_h"), F.lit(probe_splits)).cast("long"),
     )
 
-    shard_cols = shards_df.select(
+    from .build import latest_shards
+
+    # one row per shard BEFORE replication: a polluted checkpoint with
+    # k stale rows per shard would otherwise shuffle k x probe_splits
+    # copies of every payload blob
+    shard_cols = latest_shards(shards_df).select(
         F.col("shard").alias("_qf_shard"), "payload", "payload_path",
         "build_ts")
     replicated = shard_cols.withColumn(

@@ -155,6 +155,28 @@ def lsh_bucket_expr(col: str, planes: int = 8, dim: int = 64,
     )
 
 
+def lsh_bucketed(df: DataFrame, id_col: str = "vec_id",
+                 col: str = "embedding", planes: int = 8, dim: int = 64,
+                 tables: int = 4) -> DataFrame:
+    """(id, emb, t, bucket) rows: every vector exploded into its sign
+    bucket in each of ``tables`` hash tables — the shared candidate
+    substrate for lsh_cosine_topk and embedding_near_dup (one definition,
+    so the deterministic-oracle constraints hold for both)."""
+    bucket_arr = "array({})".format(
+        ", ".join(
+            f"named_struct('t', {t}, 'bucket', {lsh_bucket_expr(col, planes, dim, t)})"
+            for t in range(tables)
+        )
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.col(col).alias("emb"),
+        F.explode(F.expr(bucket_arr)).alias("tb"),
+    ).select(
+        "id", "emb", F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket")
+    )
+
+
 def lsh_cosine_topk(df: DataFrame, id_col: str = "vec_id",
                     col: str = "embedding", k: int = 10,
                     planes: int | None = None, dim: int = 64,
@@ -172,19 +194,7 @@ def lsh_cosine_topk(df: DataFrame, id_col: str = "vec_id",
     if planes is None:
         planes = planes_for(df.count())
 
-    bucket_arr = "array({})".format(
-        ", ".join(
-            f"named_struct('t', {t}, 'bucket', {lsh_bucket_expr(col, planes, dim, t)})"
-            for t in range(tables)
-        )
-    )
-    base = df.select(
-        F.col(id_col).alias("id"),
-        F.col(col).alias("emb"),
-        F.explode(F.expr(bucket_arr)).alias("tb"),
-    ).select(
-        "id", "emb", F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket")
-    )
+    base = lsh_bucketed(df, id_col, col, planes, dim, tables)
     cos = (
         f"{_dot('q.emb', 'c.emb')} / "
         f"(sqrt({_dot('q.emb', 'q.emb')}) * sqrt({_dot('c.emb', 'c.emb')}))"

@@ -194,9 +194,11 @@ def stateful_streaming_dedup(
                 elif len(new_hashes) * 16 < len(qf):
                     # steady state: per-batch cost stays O(batch), not
                     # O(state) — incremental ripple-shift inserts into
-                    # the existing filter instead of a decode+rebuild
+                    # the existing filter instead of a decode+rebuild.
+                    # value=1 matches what from_hashes stores for a
+                    # first occurrence (counter parity across branches)
                     for h in new_hashes.tolist():
-                        qf.insert_hash(int(h))
+                        qf.insert_hash(int(h), value=1)
                 else:
                     # batch is large relative to state: one vectorized
                     # rebuild is cheaper than per-key inserts

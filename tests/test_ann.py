@@ -81,3 +81,26 @@ def test_lsh_default_planes(clustered_emb):
     out = similarity.lsh_cosine_topk(clustered_emb, k=3, tables=4)
     assert out.columns == ["query_id", "neighbor_id", "cos", "rank"]
     assert out.count() > 0
+
+
+def test_near_dup_params_derived_from_threshold():
+    """Auto-derived (planes, tables) keep the boundary miss rate small:
+    at any threshold >= 0.8 the derived pair-miss probability stays
+    below 1e-3 (review finding: corpus-scaled planes alone pushed the
+    t=0.8 boundary miss above 50%)."""
+    import math
+
+    from qfspark.similarity import planes_for
+
+    for t in (0.8, 0.9, 0.95, 0.99):
+        p = 1.0 - math.acos(t) / math.pi
+        planes_cap = max(2, int(math.log(0.25) / math.log(p)))
+        for n in (10**4, 10**6, 10**9):
+            planes = min(planes_for(n), planes_cap)
+            miss_per_table = 1.0 - p ** planes
+            tables = (1 if miss_per_table <= 0 else
+                      min(64, math.ceil(math.log(1e-4)
+                                        / math.log(miss_per_table))))
+            miss = miss_per_table ** tables
+            assert miss < 1e-3, (t, n, planes, tables, miss)
+            assert tables <= 64

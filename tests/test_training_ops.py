@@ -307,3 +307,18 @@ def test_rolling_fingerprint_properties(spark):
     for ch in text[:8]:
         h = (h * 31 + ord(ch)) % ROLL_MOD
     assert rows[1].roll_min <= h  # h is window 0; min over all windows
+
+
+def test_ngram_jaccard_duplicate_pairs_not_inflated(spark):
+    """A doubled candidate pair must not double the intersection count
+    (review finding: pair-keyed verify inflated jaccard on dup pairs)."""
+    from qfspark.dedup import ngram_jaccard
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e f")],
+        "doc_id long, text string")
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 2), (1, 2)], "doc_a long, doc_b long")
+    rows = ngram_jaccard(df, pairs).collect()
+    assert len(rows) == 1
+    assert rows[0].jaccard == 1.0  # identical docs; would be 2.0 inflated
