@@ -4,8 +4,9 @@
 * minhash + LSH      — shingle -> minhash signature -> banded LSH bucket
                        join -> candidate pairs -> exact-Jaccard verify
 * n-gram Jaccard     — exact pairwise Jaccard over shared shingles
-* simhash            — 32-bit sign-aggregated token-hash fingerprint with
-                       Hamming-style near-dup pairing
+* simhash            — 60-bit sign-aggregated token-hash fingerprint with
+                       Hamming-style near-dup pairing (banded over
+                       distinct fingerprints)
 
 Scale shape: every operator is shuffle-bounded by its group key (content
 hash / shingle / LSH bucket), never by a cross join; candidate generation
@@ -102,6 +103,12 @@ def minhash_lsh_pairs(
     -> self-join within buckets (equality join on the bucket key — the
     only shuffle) -> exact Jaccard >= threshold verify. Returns
     (doc_a, doc_b, jaccard) with doc_a < doc_b.
+
+    The candidate pair list is persisted inside the Jaccard verifier
+    (see ``ngram_jaccard``): the verifier consumes it three times, and
+    without the persist Spark would re-run the banded self-join —
+    including the minhash signatures it embeds — once per consumer,
+    tripling the most expensive stage.
     """
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, col, k, num_hashes)
@@ -202,13 +209,22 @@ def ngram_jaccard(
     documented approximation every production near-dup pipeline makes —
     leave None for the exact oracle semantics)."""
     if pairs is not None:
+        from pyspark import StorageLevel
+
         # dedupe the pair list (duplicate candidate pairs would inflate
         # the intersection count: 2x|A∩B| for a doubled pair), and prune
         # the corpus to candidate MEMBERS before the shingle explode —
         # the shingle set is consumed by three joins below, and pruning
         # ahead of the explode bounds every recompute by the candidate
-        # membership instead of the corpus (no full-corpus cache needed)
-        pairs = pairs.select("doc_a", "doc_b").distinct()
+        # membership instead of the corpus (no full-corpus cache needed).
+        # Persist the deduped list: it is consumed three times (both
+        # member sides + the pair-keyed join spine), and when it arrives
+        # from an LSH candidate generator the lineage behind it is the
+        # most expensive stage of the whole pipeline — unpersisted, Spark
+        # recomputes that lineage per consumer. The cache is two longs
+        # per pair, MEMORY_AND_DISK, LRU-evicted.
+        pairs = (pairs.select("doc_a", "doc_b").distinct()
+                 .persist(StorageLevel.MEMORY_AND_DISK))
         members = (
             pairs.select(F.col("doc_a").alias("doc_id"))
             .union(pairs.select(F.col("doc_b").alias("doc_id")))
@@ -411,22 +427,34 @@ def embedding_near_dup(
             tables = (1 if miss_per_table <= 0 else
                       min(64, math.ceil(math.log(1e-4)
                                         / math.log(miss_per_table))))
-        base = lsh_bucketed(emb_df, id_col, col, planes, dim, tables)
+        # candidates carry ids only through the (t, bucket) shuffle (see
+        # lsh_bucketed); embeddings re-attach to the deduped candidate
+        # pairs via two id-keyed joins for the exact-cosine verify
+        buckets = lsh_bucketed(emb_df, id_col, col, planes, dim, tables)
+        cand = (
+            buckets.alias("a")
+            .join(buckets.alias("b"), ["t", "bucket"])
+            .where(F.col("a.id") < F.col("b.id"))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .distinct()
+        )
+        base = emb_df.select(F.col(id_col).alias("id"), F.col(col).alias("emb"))
         cos = (
-            f"{_dot('a.emb', 'b.emb')} / "
-            f"(sqrt({_dot('a.emb', 'a.emb')}) * sqrt({_dot('b.emb', 'b.emb')}))"
+            f"{_dot('a_emb', 'b_emb')} / "
+            f"(sqrt({_dot('a_emb', 'a_emb')}) * sqrt({_dot('b_emb', 'b_emb')}))"
         )
         pairs = (
-            base.alias("a")
-            .join(base.alias("b"), ["t", "bucket"])
-            .where(F.col("a.id") < F.col("b.id"))
+            cand
+            .join(base.select(F.col("id").alias("id_a"),
+                              F.col("emb").alias("a_emb")), "id_a")
+            .join(base.select(F.col("id").alias("id_b"),
+                              F.col("emb").alias("b_emb")), "id_b")
             .select(
-                F.col("a.id").alias("id_a"),
-                F.col("b.id").alias("id_b"),
+                "id_a",
+                "id_b",
                 F.expr(f"round({cos}, 6)").alias("cos"),
             )
             .where(F.col("cos") >= threshold)
-            .distinct()
         )
     else:
         raise ValueError(f"unknown method {method!r}")
@@ -452,11 +480,18 @@ def duckdb_embedding_near_dup_sql(
 # simhash
 # ---------------------------------------------------------------------------
 
-SIMHASH_BITS = 32  # fits comfortably in a signed 64-bit column
+# Full width of the md5-derived hash60 (textops.spark_hash60). A narrower
+# fingerprint (round-2 used 32) is a scale defect: with 4 pigeonhole bands
+# the band key space collapses to 2^8 = 256 buckets and the candidate
+# self-join degrades to Theta(n^2/256). At 60 bits the same 4 bands carry
+# 15 bits each (32,768 keys) — candidate volume drops ~128x and keeps
+# dropping as corpora grow because near-collisions of independent 15-bit
+# band values are genuinely rare.
+SIMHASH_BITS = 60
 
 
 def simhash(df: DataFrame, col: str = "text") -> DataFrame:
-    """32-bit simhash: each distinct token votes +-1 on every bit of its
+    """60-bit simhash: each distinct token votes +-1 on every bit of its
     60-bit hash; the fingerprint sets the bits with positive vote sums.
     One explode + one groupBy(doc_id) — shuffle bounded by doc count."""
     toks = (
@@ -483,11 +518,29 @@ def simhash_pairs(df: DataFrame, col: str = "text",
                   max_hamming: int = 3) -> DataFrame:
     """Near-duplicate pairs by simhash Hamming distance <= max_hamming.
 
-    Candidate generation by pigeonhole banding: split the 32-bit simhash
-    into 4 bytes; any pair within Hamming distance 3 agrees on at least
-    one byte, so candidates come from an equality join on (band, byte) —
-    no cross product. Verified with bit_count(xor) <= max_hamming.
-    Returns (doc_a, doc_b, hamming)."""
+    Candidate generation by pigeonhole banding over DISTINCT fingerprints:
+    split the 60-bit simhash into (max_hamming + 1) bands (15 bits each at
+    the default — 32,768 keys per band); any pair within the distance
+    bound agrees on at least one whole band, so candidate *fingerprint*
+    pairs come from an equality join on (band, key) — no cross product —
+    and are verified with bit_count(xor) <= max_hamming before expansion
+    back to document pairs.
+
+    Two scale properties the round-2 version lacked:
+
+    * the banded self-join runs over distinct fingerprints, not documents
+      — a boilerplate page duplicated a million times is ONE node in the
+      candidate graph instead of 10^12 same-bucket pairs; identical
+      documents pair up afterwards through a plain equality join on the
+      fingerprint (shuffle keyed by simhash, inherently grouped);
+    * 15-bit band keys keep expected bucket population at n_fps / 32,768
+      per band — the 8-bit bands of a 32-bit simhash cap at 256 buckets,
+      which is Theta(n^2/256) comparisons at any realistic corpus size.
+
+    Returns (doc_a, doc_b, hamming) with doc_a < doc_b; output volume is
+    the true near-dup pair count (inherent to the pair contract — use the
+    fingerprint groups directly for a keep/drop decision at 10^12 scale).
+    """
     # pigeonhole completeness: with (max_hamming + 1) bands, any pair
     # within the distance bound agrees on at least one whole band
     bands = max_hamming + 1
@@ -495,31 +548,56 @@ def simhash_pairs(df: DataFrame, col: str = "text",
         raise ValueError(f"max_hamming must be < {SIMHASH_BITS}")
     width = SIMHASH_BITS // bands
     sh = simhash(df, col)
+    fps = sh.select("simhash").distinct()
     band_exprs = []
     for b in range(bands):
         lo = b * width
         w = SIMHASH_BITS - lo if b == bands - 1 else width
         band_exprs.append(
-            f"struct({b} AS band, CAST(shiftrightunsigned(simhash, {lo}) "
-            f"& {(1 << w) - 1} AS INT) AS byte)"
+            f"struct({b} AS band, shiftrightunsigned(simhash, {lo}) "
+            f"& {(1 << w) - 1} AS key)"
         )
-    banded = sh.select(
-        "doc_id",
+    banded = fps.select(
         "simhash",
         F.explode(F.expr("array(" + ", ".join(band_exprs) + ")")).alias("bb"),
-    ).select("doc_id", "simhash", F.col("bb.band").alias("band"),
-             F.col("bb.byte").alias("byte"))
-    return (
+    ).select("simhash", F.col("bb.band").alias("band"),
+             F.col("bb.key").alias("key"))
+    cand_fp = (
         banded.alias("a")
-        .join(banded.alias("b"), ["band", "byte"])
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.expr("bit_count(a.simhash ^ b.simhash)").alias("hamming"),
-        )
-        .where(F.col("hamming") <= max_hamming)
+        .join(banded.alias("b"), ["band", "key"])
+        .where(F.col("a.simhash") < F.col("b.simhash"))
+        .select(F.col("a.simhash").alias("fp_a"),
+                F.col("b.simhash").alias("fp_b"))
         .distinct()
+        .where(F.expr("bit_count(fp_a ^ fp_b)") <= max_hamming)
+    )
+    # expand fingerprint pairs back to document pairs: cross-fingerprint
+    # pairs via two equality joins on the fingerprint, identical-
+    # fingerprint pairs (hamming 0) via a self-equality join on simhash.
+    # The branches are disjoint (fp_a < fp_b vs fp_a = fp_b) and each doc
+    # pair appears exactly once, so no final distinct is needed.
+    cross = (
+        cand_fp
+        .join(sh.select(F.col("simhash").alias("fp_a"),
+                        F.col("doc_id").alias("id_a")), "fp_a")
+        .join(sh.select(F.col("simhash").alias("fp_b"),
+                        F.col("doc_id").alias("id_b")), "fp_b")
+        .select(F.least("id_a", "id_b").alias("doc_a"),
+                F.greatest("id_a", "id_b").alias("doc_b"),
+                "fp_a", "fp_b")
+    )
+    same = (
+        sh.alias("a")
+        .join(sh.alias("b"), "simhash")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                F.col("simhash").alias("fp_a"),
+                F.col("simhash").alias("fp_b"))
+    )
+    return cross.unionByName(same).select(
+        "doc_a", "doc_b",
+        F.expr("bit_count(fp_a ^ fp_b)").alias("hamming"),
     )
 
 
@@ -531,20 +609,38 @@ def duckdb_simhash_pairs_sql(col: str = "text", max_hamming: int = 3) -> str:
         lo = b * width
         w = SIMHASH_BITS - lo if b == bands - 1 else width
         cases.append(
-            f"SELECT doc_id, simhash, {b} AS band, "
-            f"CAST((simhash >> {lo}) & {(1 << w) - 1} AS INT) AS byte FROM sh"
+            f"SELECT simhash, {b} AS band, "
+            f"(simhash >> {lo}) & {(1 << w) - 1} AS key FROM fps"
         )
     banded = " UNION ALL ".join(cases)
     return f"""
         WITH sh AS ({duckdb_simhash_sql(col)}),
+        fps AS (SELECT DISTINCT simhash FROM sh),
         banded AS (
             {banded}
+        ),
+        cand_fp AS (
+            SELECT DISTINCT a.simhash AS fp_a, b.simhash AS fp_b
+            FROM banded a JOIN banded b USING (band, key)
+            WHERE a.simhash < b.simhash
+              AND bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+        ),
+        expanded AS (
+            SELECT least(da.doc_id, db.doc_id) AS doc_a,
+                   greatest(da.doc_id, db.doc_id) AS doc_b,
+                   c.fp_a, c.fp_b
+            FROM cand_fp c
+            JOIN sh da ON da.simhash = c.fp_a
+            JOIN sh db ON db.simhash = c.fp_b
+            UNION ALL
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   a.simhash AS fp_a, b.simhash AS fp_b
+            FROM sh a JOIN sh b ON a.simhash = b.simhash
+            WHERE a.doc_id < b.doc_id
         )
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-               bit_count(xor(a.simhash, b.simhash)) AS hamming
-        FROM banded a JOIN banded b USING (band, byte)
-        WHERE a.doc_id < b.doc_id
-          AND bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+        SELECT doc_a, doc_b,
+               bit_count(xor(fp_a, fp_b)) AS hamming
+        FROM expanded
     """
 
 

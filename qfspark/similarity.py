@@ -158,10 +158,17 @@ def lsh_bucket_expr(col: str, planes: int = 8, dim: int = 64,
 def lsh_bucketed(df: DataFrame, id_col: str = "vec_id",
                  col: str = "embedding", planes: int = 8, dim: int = 64,
                  tables: int = 4) -> DataFrame:
-    """(id, emb, t, bucket) rows: every vector exploded into its sign
-    bucket in each of ``tables`` hash tables — the shared candidate
-    substrate for lsh_cosine_topk and embedding_near_dup (one definition,
-    so the deterministic-oracle constraints hold for both)."""
+    """(id, t, bucket) rows: every vector exploded into its sign bucket
+    in each of ``tables`` hash tables — the shared candidate substrate
+    for lsh_cosine_topk and embedding_near_dup (one definition, so the
+    deterministic-oracle constraints hold for both).
+
+    Deliberately carries IDS ONLY: the bucket keys are computed map-side
+    from the embedding, but the embedding itself never enters the
+    (t, bucket) shuffle — replicating a 10^9 x 64-float column ``tables``
+    times through the candidate join would be the dominant shuffle
+    payload at scale (round-2 defect). Consumers re-attach embeddings to
+    the *surviving candidate pairs* with two equality joins on the id."""
     bucket_arr = "array({})".format(
         ", ".join(
             f"named_struct('t', {t}, 'bucket', {lsh_bucket_expr(col, planes, dim, t)})"
@@ -170,10 +177,9 @@ def lsh_bucketed(df: DataFrame, id_col: str = "vec_id",
     )
     return df.select(
         F.col(id_col).alias("id"),
-        F.col(col).alias("emb"),
         F.explode(F.expr(bucket_arr)).alias("tb"),
     ).select(
-        "id", "emb", F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket")
+        "id", F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket")
     )
 
 
@@ -194,21 +200,36 @@ def lsh_cosine_topk(df: DataFrame, id_col: str = "vec_id",
     if planes is None:
         planes = planes_for(df.count())
 
-    base = lsh_bucketed(df, id_col, col, planes, dim, tables)
-    cos = (
-        f"{_dot('q.emb', 'c.emb')} / "
-        f"(sqrt({_dot('q.emb', 'q.emb')}) * sqrt({_dot('c.emb', 'c.emb')}))"
-    )
-    scored = (
-        base.alias("q")
-        .join(base.alias("c"), ["t", "bucket"])
+    # candidate generation over (id, t, bucket) only — embeddings do not
+    # ride the bucket shuffle (see lsh_bucketed); they re-attach to the
+    # deduped candidate pairs via two id-keyed joins below
+    buckets = lsh_bucketed(df, id_col, col, planes, dim, tables)
+    cand = (
+        buckets.alias("q")
+        .join(buckets.alias("c"), ["t", "bucket"])
         .where(F.col("q.id") != F.col("c.id"))
         .select(
             F.col("q.id").alias("query_id"),
             F.col("c.id").alias("neighbor_id"),
-            F.expr(f"round({cos}, 6)").alias("cos"),
         )
         .distinct()
+    )
+    base = df.select(F.col(id_col).alias("id"), F.col(col).alias("emb"))
+    cos = (
+        f"{_dot('q_emb', 'c_emb')} / "
+        f"(sqrt({_dot('q_emb', 'q_emb')}) * sqrt({_dot('c_emb', 'c_emb')}))"
+    )
+    scored = (
+        cand
+        .join(base.select(F.col("id").alias("query_id"),
+                          F.col("emb").alias("q_emb")), "query_id")
+        .join(base.select(F.col("id").alias("neighbor_id"),
+                          F.col("emb").alias("c_emb")), "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.expr(f"round({cos}, 6)").alias("cos"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()
