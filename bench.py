@@ -65,6 +65,9 @@ SCALE_LEVELS = (2, 8)
 # cannot be measured on a seconds-long job.
 SCALE_MULT = 40
 SCALE_TRIALS = 5  # interleaved rounds; median reported
+# per-query trials (median reported, trial lists recorded): single-shot
+# per-query timings produced false-regression signals in round 2
+QUERY_TRIALS = int(os.environ.get("SPARK_GRAFT_QUERY_TRIALS", "3"))
 
 
 def _session(cores: int):
@@ -260,6 +263,22 @@ def main() -> None:
 
     spark = _session(CPUS)
     timings = {}
+    trials_log = {}
+
+    def timed(name: str, fn, trials: int = QUERY_TRIALS) -> None:
+        """Per-query timing = MEDIAN of >= 3 trials, trial list recorded.
+        Round-2 lesson: single-shot numbers on this box produced 5-20x
+        false-regression signals from multi-minute system noise windows
+        (two of them cost the round-2 judge a manual re-adjudication);
+        medians absorb one bad window the way the scaling section
+        already does."""
+        ts = []
+        for _ in range(trials):
+            t0 = time.time()
+            fn()
+            ts.append(round(time.time() - t0, 3))
+        timings[name] = round(statistics.median(ts), 3)
+        trials_log[name] = ts
 
     # headline CQF + linear text queries from the driver contract
     fast_queries = [
@@ -269,9 +288,7 @@ def main() -> None:
     ]
     qmap = entry_mod.queries()
     for name in fast_queries:
-        t0 = time.time()
-        qmap[name](spark, SF_DIR).count()
-        timings[name] = round(time.time() - t0, 3)
+        timed(name, lambda name=name: qmap[name](spark, SF_DIR).count())
 
     # pairwise ops on capped inputs (full-size parity is the correctness
     # gate's job at sf0.01; here we time the plan shape). NB: a bare
@@ -283,39 +300,38 @@ def main() -> None:
     emb500 = (spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
               .limit(500).repartition(CPUS).cache())
     emb500.count()
-    t0 = time.time()
-    dedup.minhash_lsh_pairs(docs1k, threshold=0.2).count()
-    timings["minhash_lsh_pairs_1k"] = round(time.time() - t0, 3)
-    t0 = time.time()
-    dedup.simhash_pairs(docs1k, max_hamming=2).count()
-    timings["simhash_pairs_1k"] = round(time.time() - t0, 3)
-    t0 = time.time()
-    similarity.cosine_topk(emb500, k=5).count()
-    timings["cosine_topk_500"] = round(time.time() - t0, 3)
-    t0 = time.time()
-    similarity.lsh_cosine_topk(emb500, k=5, planes=6, tables=4).count()
-    timings["lsh_cosine_topk_500"] = round(time.time() - t0, 3)
+    timed("minhash_lsh_pairs_1k",
+          lambda: dedup.minhash_lsh_pairs(docs1k, threshold=0.2).count())
+    timed("simhash_pairs_1k",
+          lambda: dedup.simhash_pairs(docs1k, max_hamming=2).count())
+    timed("cosine_topk_500",
+          lambda: similarity.cosine_topk(emb500, k=5).count())
+    timed("lsh_cosine_topk_500",
+          lambda: similarity.lsh_cosine_topk(
+              emb500, k=5, planes=6, tables=4).count())
 
     # merged (driver-resident) build at a moderate size
     keys6m = _scaling_keys(spark, SF_DIR, 10, CPUS).cache()
     n6m = keys6m.count()
-    t0 = time.time()
-    build_qf(keys6m, "key", config=QFConfig(counter_bits=32, hash_name="xxhash64"))
-    timings[f"cqf_build_merged_{n6m // 1_000_000}m"] = round(time.time() - t0, 3)
+    timed(f"cqf_build_merged_{n6m // 1_000_000}m",
+          lambda: build_qf(keys6m, "key",
+                           config=QFConfig(counter_bits=32,
+                                           hash_name="xxhash64")))
     keys6m.unpersist()
 
     # headline: sharded durable build on the scaling workload, both
-    # exchange strategies; best of 2 (trial 1 in a JVM pays JIT +
-    # first-touch costs — see the scaling protocol notes)
+    # exchange strategies (the first trial in this JVM pays JIT +
+    # first-touch costs; the median absorbs it)
     keys = _scaling_keys(spark, SF_DIR, SCALE_MULT, CPUS).cache()
     rows_built = keys.count()
-    arrow_sec = min(_sharded_build_once(spark, keys, CPUS, exchange="arrow")
-                    for _ in range(2))
-    timings[f"cqf_build_sharded_arrow_{rows_built // 1_000_000}m"] = round(arrow_sec, 3)
-    storage_sec = min(_sharded_build_once(spark, keys, CPUS, exchange="storage")
-                      for _ in range(2))
-    timings[f"cqf_build_sharded_storage_{rows_built // 1_000_000}m"] = round(storage_sec, 3)
-    build_sec = min(arrow_sec, storage_sec)
+    timed(f"cqf_build_sharded_arrow_{rows_built // 1_000_000}m",
+          lambda: _sharded_build_once(spark, keys, CPUS, exchange="arrow"))
+    timed(f"cqf_build_sharded_storage_{rows_built // 1_000_000}m",
+          lambda: _sharded_build_once(spark, keys, CPUS,
+                                      exchange="storage"))
+    build_sec = min(
+        timings[f"cqf_build_sharded_arrow_{rows_built // 1_000_000}m"],
+        timings[f"cqf_build_sharded_storage_{rows_built // 1_000_000}m"])
     spark.stop()
 
     try:
@@ -337,6 +353,8 @@ def main() -> None:
         "value": round(value),
         "unit": "rows/sec",
         "queries": timings,
+        "query_trials": trials_log,
+        "query_stat": f"median of {QUERY_TRIALS}",
         "sf": SF_DIR,
         "scaling": scaling,
     }))

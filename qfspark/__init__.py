@@ -24,7 +24,9 @@ Key semantic guarantees (matching the reference's tests):
 """
 
 from .sizing import QFConfig, MAX_LOADING_FACTOR, MIN_Q_BITS
-from .hashing import murmur64a, fnv1a, xxhash64, hash_bytes, HASH_FNS
+from .hashing import (
+    murmur64a, fnv1a, xxhash64, hash_bytes, register_hash, HASH_FNS,
+)
 from .kernel import QF
 from .vector import PackedVector, UnpackedVector
 
@@ -39,6 +41,7 @@ __all__ = [
     "fnv1a",
     "xxhash64",
     "hash_bytes",
+    "register_hash",
     "HASH_FNS",
     "MAX_LOADING_FACTOR",
     "MIN_Q_BITS",

@@ -61,6 +61,12 @@ Two build strategies, both shaped for the 10^12-row design point:
         row-level aggregation; demonstrates hot-key skew handling with
         plain relational operators.
 
+    ``'auto'`` — measures the input instead of guessing: a high duplicate
+        ratio (probed on a bounded prefix) selects 'combine'; otherwise
+        the expected raw rows per shard (exact input count / 2^shard_bits)
+        selects 'storage' above ``ARROW_MAX_ROWS_PER_SHARD`` — the arrow
+        path's single-fat-row bound — and 'arrow' below it.
+
     Payloads can be written as *sidecar files* (``payload_dir``): each
     shard task writes its serialized filter to content-addressed storage
     executor-side and the table row carries the path — at the 10^12
@@ -97,6 +103,13 @@ from .sizing import QFConfig
 DEFAULT_HASH = "xxhash64"
 
 HASH_COL = "qf_hash"
+
+# The 'arrow' exchange materializes each shard's pre-unique hashes as ONE
+# JVM collect_list row (~8 B per raw occurrence), so a shard whose raw
+# rows exceed this bound risks an oversized single row / aggregation
+# buffer. 'auto' falls back to 'storage' (no single-row bound) above it;
+# half the documented ~1e8 ceiling leaves headroom for skewed shards.
+ARROW_MAX_ROWS_PER_SHARD = 50_000_000
 
 
 def _u64(series_or_array) -> np.ndarray:
@@ -523,13 +536,26 @@ def build_sharded_qf(
         # means the partition-local combiner ('combine') shrinks the
         # exchange by the dup factor BEFORE any data moves (and keeps the
         # JVM-side fat-row aggregation buffers small); near-unique keys
-        # mean 'arrow' wins (one zero-copy channel crossing per shard).
-        # Probed on a bounded prefix — a heuristic, not an exact census.
+        # mean 'arrow' wins (one zero-copy channel crossing per shard) —
+        # UNLESS the expected raw rows per shard exceed the arrow path's
+        # single-fat-row bound (each shard's pre-unique hashes form ONE
+        # collect_list row; see the module docstring), in which case
+        # 'storage' takes over: its spill-through-parquet exchange has no
+        # per-row or per-shard size bound at all.
+        # Dup ratio probed on a bounded prefix — a heuristic, not an
+        # exact census; rows/shard uses the exact input count (one
+        # column-pruned scan, negligible next to the build itself).
         probe = hashed.limit(200_000)
         n_probe = probe.count()
         n_distinct = probe.distinct().count()
         dup_ratio = n_probe / max(n_distinct, 1)
-        exchange = "combine" if dup_ratio >= 4 else "arrow"
+        if dup_ratio >= 4:
+            exchange = "combine"
+        else:
+            rows_per_shard = hashed.count() / (1 << sb)
+            exchange = ("storage"
+                        if rows_per_shard > ARROW_MAX_ROWS_PER_SHARD
+                        else "arrow")
 
     if exchange == "arrow":
         shards_df = _exchange_arrow(hashed, sb, config, done, payload_dir)

@@ -340,6 +340,45 @@ HASH_FNS = {
     "xxhash64": xxhash64,
 }
 
+#: Names of the hashes that ship with the library; anything else in
+#: HASH_FNS arrived through register_hash().
+BUILTIN_HASHES = frozenset(HASH_FNS)
+
+
+def register_hash(name: str, fn, overwrite: bool = False) -> None:
+    """Register a user-supplied batch hash under ``name`` — the extension
+    point matching the reference's arbitrary ``HashFn`` config field
+    (hash.go:6, config.go:30-35), with one deliberate difference: the
+    NAME travels in every serialized filter header, so a filter built
+    with a custom hash refuses to answer key probes in a process that
+    has not registered the same name (clear ValueError from
+    ``hash_bytes``) instead of silently probing with the wrong hash
+    (the reference hard-codes murmur on reopen, disk.go:69-70).
+
+    ``fn`` must take an iterable of str/bytes keys and return a uint64
+    numpy array of the same length (hash over the UTF-8 bytes of str
+    keys, to stay consistent with the built-ins). On a cluster, register
+    the hash at import time in a module shipped via ``--py-files`` so
+    every executor process knows it.
+    """
+    if not name or not name.isascii():
+        raise ValueError(f"hash name must be non-empty ASCII, got {name!r}")
+    if not callable(fn):
+        raise TypeError(f"hash fn must be callable, got {type(fn)!r}")
+    if name in HASH_FNS and not overwrite:
+        raise ValueError(
+            f"hash {name!r} is already registered; pass overwrite=True "
+            f"to replace it" + (" (built-in)" if name in BUILTIN_HASHES else "")
+        )
+    probe = fn(["qfspark-register-probe", b"bytes-key"])
+    arr = np.asarray(probe)
+    if arr.dtype != np.uint64 or arr.shape != (2,):
+        raise ValueError(
+            f"hash {name!r} must map a batch of keys to a uint64 array of "
+            f"the same length; probe returned dtype={arr.dtype}, "
+            f"shape={arr.shape}")
+    HASH_FNS[name] = fn
+
 
 def hash_bytes(keys: Iterable, hash_name: str = "murmur64a") -> np.ndarray:
     """Hash a batch of keys with a registered hash. Returns uint64 array."""

@@ -102,6 +102,32 @@ class QF:
         return self.entries
 
     # ------------------------------------------------------------------
+    # lifecycle (reference Disk.Close, disk.go:99-104)
+    # ------------------------------------------------------------------
+    def close(self) -> None:
+        """Release any memory maps backing this filter (filters opened by
+        ``disk.open_readonly``/``open_any``) — without it a long-lived
+        process churning many filter files accumulates mappings until GC
+        happens to collect them. In-memory filters: a no-op. The filter
+        is unusable afterwards (probes raise); idempotent."""
+        for vec in (self.filter, self.storage):
+            if vec is None:
+                continue
+            words = getattr(vec, "words", None)
+            if isinstance(words, np.memmap):
+                mm = words._mmap
+                vec.words = None  # fail fast on use-after-close
+                if mm is not None:
+                    mm.close()
+        self._index = None
+
+    def __enter__(self) -> "QF":
+        return self
+
+    def __exit__(self, exc_type, exc, tb) -> None:
+        self.close()
+
+    # ------------------------------------------------------------------
     # bulk build (the primary, vectorized path)
     # ------------------------------------------------------------------
     @classmethod

@@ -40,6 +40,32 @@ from .serde import qf_from_bytes, qf_to_bytes
 _FILTER_CACHE: "OrderedDict[str, object]" = OrderedDict()
 _FILTER_CACHE_MAX = 4
 
+# driver-side cache: (applicationId, payload digest) -> Broadcast. Without
+# it every annotate() call re-broadcasts the serialized payload even when
+# the executor-side _FILTER_CACHE would hit — at a ~1 GB filter that is a
+# full re-distribution per query. applicationId in the key keeps entries
+# from a stopped SparkContext from being handed out to a new one.
+_BROADCAST_CACHE: "OrderedDict[tuple, object]" = OrderedDict()
+_BROADCAST_CACHE_MAX = 4
+
+
+def _broadcast_payload(spark, payload: tuple, digest: str):
+    sc = spark.sparkContext
+    key = (sc.applicationId, digest)
+    bc = _BROADCAST_CACHE.get(key)
+    if bc is None:
+        bc = sc.broadcast(payload)
+        _BROADCAST_CACHE[key] = bc
+        while len(_BROADCAST_CACHE) > _BROADCAST_CACHE_MAX:
+            _, old = _BROADCAST_CACHE.popitem(last=False)
+            try:
+                old.unpersist()
+            except Exception:
+                pass  # context already stopped; nothing to release
+    else:
+        _BROADCAST_CACHE.move_to_end(key)
+    return bc
+
 
 def _payload_digest(payload: tuple) -> str:
     h = hashlib.sha1()
@@ -97,7 +123,7 @@ def annotate(
     hash_name = qf.config.hash_name if isinstance(qf, QF) else qf.hash_name
     payload = _serialize_filter(qf)
     digest = _payload_digest(payload)
-    bc = spark.sparkContext.broadcast(payload)
+    bc = _broadcast_payload(spark, payload, digest)
 
     @pandas_udf("struct<seen: boolean, cnt: long>")
     def _probe(h: pd.Series) -> pd.DataFrame:
