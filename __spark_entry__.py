@@ -14,7 +14,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from qfspark import dedup, multimodal, similarity, textops
+from qfspark import dedup, multimodal, similarity, sketches, textops
 from qfspark.build import build_qf
 from qfspark.lookup import annotate, filter_unseen
 from qfspark.shingle import duckdb_shingle_sql, shingle_expr
@@ -101,6 +101,100 @@ def _q_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return filter_unseen(frontier, "url", qf)
 
 
+_SKETCH_QS = [0.1, 0.25, 0.5, 0.75, 0.9]
+
+
+def _q_hll_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL distinct-url count with the exact count and the published
+    3-sigma bound check alongside: the ESTIMATE itself is the
+    oracle-checked quantity (deterministic hash + exact-integer harmonic
+    sum; see sketches.py)."""
+    wp = synthesize(spark, sf_dir)
+    est = sketches.hll_cardinality(wp, "url", p=10)
+    exact = wp.agg(F.countDistinct("url").cast("long").alias("exact_distinct"))
+    bound = sketches.hll_error_bound(10, sigmas=3.0)
+    return (
+        est.crossJoin(exact)
+        .withColumn(
+            "rel_err",
+            F.round(F.abs(F.col("estimate") - F.col("exact_distinct"))
+                    / F.col("exact_distinct"), 4))
+        .withColumn("within_bound", F.col("rel_err") <= F.lit(bound))
+    )
+
+
+def _q_countmin_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min frequency estimates for every distinct crawled url
+    (fetch counts 1-3), with the true count and the never-underestimates
+    guarantee as checked columns."""
+    crawl = synthesize_crawl(spark, sf_dir)
+    cm = sketches.countmin_table(crawl, "url", depth=4, width=1024)
+    est = sketches.countmin_query(cm, crawl, "url", depth=4, width=1024)
+    true = crawl.groupBy("url").agg(F.count(F.lit(1)).alias("true_cnt"))
+    return (
+        est.join(true, "url")
+        .withColumn("no_underestimate",
+                    F.col("cm_count") >= F.col("true_cnt"))
+    )
+
+
+def _q_bloom_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom membership over the odd-source half of the crawl, probed
+    with every url plus absent variants; the no-false-negative guarantee
+    is a checked column."""
+    wp = synthesize(spark, sf_dir)
+    members = wp.where(
+        F.col("url").like("%src1%") | F.col("url").like("%src3%"))
+    bits = sketches.bloom_bits(members, "url", m_bits=1 << 16, k=4)
+    probes = wp.select("url").union(
+        wp.select(F.concat(F.col("url"), F.lit("#absent")).alias("url")))
+    seen = sketches.bloom_contains(bits, probes, "url",
+                                   m_bits=1 << 16, k=4)
+    member_urls = members.select("url").distinct().withColumn(
+        "is_member", F.lit(True))
+    return (
+        seen.join(member_urls, "url", "left")
+        .select(
+            "url", "bloom_seen",
+            F.coalesce("is_member", F.lit(False)).alias("is_member"),
+        )
+        .withColumn("no_false_negative",
+                    F.col("bloom_seen") | ~F.col("is_member"))
+    )
+
+
+def _q_bottomk_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bottom-k sample quantiles of document length next to the exact
+    quantiles, both with identical lower-interpolation rank arithmetic —
+    every column is a bit-exact oracle-checked quantity."""
+    base = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("k"),
+        F.length("text").cast("double").alias("v"),
+    )
+    sk = sketches.bottomk_sketch(base, "k", "v", k=256)
+    est = sketches.bottomk_quantiles(sk, _SKETCH_QS)
+    qlit = ", ".join(f"CAST({q!r} AS DOUBLE)" for q in _SKETCH_QS)
+    exact = (
+        base.agg(F.expr("sort_array(collect_list(v))").alias("vals"))
+        .select(F.explode(F.expr(f"array({qlit})")).alias("q"), "vals")
+        .select(
+            "q",
+            F.expr("vals[CAST(floor(q * (size(vals) - 1)) AS INT)]")
+            .alias("exact_value"),
+        )
+    )
+    return est.join(exact, "q")
+
+
+def _q_quantile_bounds(kind: str):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        base = _docs(spark, sf_dir).select(
+            F.length("text").cast("double").alias("v"))
+        return sketches.quantile_bound_check(
+            base, "v", _SKETCH_QS, kind=kind)
+    return run
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
@@ -172,6 +266,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             similarity.lsh_cosine_topk(_emb(s, d), k=5, planes=6, tables=4),
             k=5,
         ),
+        # mergeable sketch library (north-rule family beyond the CQF):
+        # HLL / count-min / Bloom / bottom-k estimates are deterministic
+        # (md5-derived hashes, integer registers) so the ESTIMATES are
+        # oracle-checked; t-digest / KLL are Python kernels gated on
+        # their published error bound (ok==TRUE oracle, like ANN recall)
+        "hll_url_cardinality": _q_hll_url,
+        "countmin_url_freq": _q_countmin_url,
+        "bloom_url_membership": _q_bloom_url,
+        "bottomk_quantiles": _q_bottomk_quantiles,
+        "tdigest_quantile_bounds": _q_quantile_bounds("tdigest"),
+        "kll_quantile_bounds": _q_quantile_bounds("kll"),
     }
 
 
@@ -275,4 +380,73 @@ def oracle_sql() -> dict[str, str]:
             k=5, planes=6, tables=4),
         "lsh_ann_recall": similarity.duckdb_lsh_ann_recall_sql(
             k=5, planes=6, tables=4),
+        "hll_url_cardinality": f"""
+            WITH wp AS ({wp}),
+            hll AS ({sketches.duckdb_hll_sql("url", 10, "wp")}),
+            exact AS (
+                SELECT CAST(COUNT(DISTINCT url) AS BIGINT)
+                       AS exact_distinct FROM wp
+            )
+            SELECT h.m, h.nonempty_buckets, h.zero_buckets, h.sum_scaled,
+                   h.estimate, e.exact_distinct,
+                   round(abs(h.estimate - e.exact_distinct)
+                         / e.exact_distinct, 4) AS rel_err,
+                   round(abs(h.estimate - e.exact_distinct)
+                         / e.exact_distinct, 4)
+                       <= {sketches.hll_error_bound(10, 3.0)!r}
+                       AS within_bound
+            FROM hll h, exact e
+        """,
+        "countmin_url_freq": f"""
+            WITH crawl AS ({duckdb_crawl_sql()}),
+            cmq AS ({sketches.duckdb_countmin_sql(
+                "url", 4, 1024, "crawl")}),
+            truec AS (
+                SELECT url, COUNT(*) AS true_cnt FROM crawl GROUP BY url
+            )
+            SELECT c.url, c.cm_count, t.true_cnt,
+                   c.cm_count >= t.true_cnt AS no_underestimate
+            FROM cmq c JOIN truec t USING (url)
+        """,
+        "bloom_url_membership": f"""
+            WITH wp AS ({wp}),
+            members AS (
+                SELECT url FROM wp
+                WHERE url LIKE '%src1%' OR url LIKE '%src3%'
+            ),
+            probes AS (
+                SELECT url FROM wp
+                UNION ALL
+                SELECT url || '#absent' AS url FROM wp
+            ),
+            seen AS ({sketches.duckdb_bloom_sql(
+                "url", 1 << 16, 4, "members", "probes")}),
+            member_urls AS (SELECT DISTINCT url FROM members)
+            SELECT s.url, s.bloom_seen,
+                   (m.url IS NOT NULL) AS is_member,
+                   s.bloom_seen OR (m.url IS NULL) AS no_false_negative
+            FROM seen s LEFT JOIN member_urls m USING (url)
+        """,
+        "bottomk_quantiles": f"""
+            WITH base AS (
+                SELECT CAST(doc_id AS VARCHAR) AS k,
+                       CAST(length(text) AS DOUBLE) AS v
+                FROM documents
+            ),
+            est AS ({sketches.duckdb_bottomk_quantiles_sql(
+                "k", "v", 256, _SKETCH_QS, "base")}),
+            allv AS (SELECT list_sort(list(v)) AS vals FROM base),
+            exact AS (
+                SELECT q, vals[CAST(floor(q * (len(vals) - 1)) AS INT) + 1]
+                           AS exact_value
+                FROM allv, unnest([{", ".join(
+                    f"CAST({q!r} AS DOUBLE)" for q in _SKETCH_QS)}]) AS t(q)
+            )
+            SELECT e.q, e.est_value, x.exact_value
+            FROM est e JOIN exact x USING (q)
+        """,
+        "tdigest_quantile_bounds":
+            sketches.duckdb_quantile_bound_sql(_SKETCH_QS),
+        "kll_quantile_bounds":
+            sketches.duckdb_quantile_bound_sql(_SKETCH_QS),
     }

@@ -1,0 +1,825 @@
+"""Mergeable sketch / approximate-aggregation library.
+
+The north-star role of this repo is a PySpark-native *sketch* engine: the
+CQF (kernel.py/build.py) is the flagship, and this module supplies the
+rest of the classic family over the same web-pages data model — each as
+a mergeable aggregation whose partial results combine associatively, the
+UDAF shape that makes 10^12-row builds shuffle-light:
+
+* HyperLogLog        — distinct count (register table, max-merge)
+* count-min          — frequency estimation (counter table, sum-merge)
+* Bloom filter       — membership (bit-position table, union-merge)
+* bottom-k           — uniform hash-sample for quantiles/sampling
+                       (min-k-merge; the SQL-expressible quantile sketch)
+* t-digest           — streaming quantiles (centroid merge, Python
+                       kernel over mapInPandas partials)
+* KLL                — compactor-based quantiles (level merge, Python
+                       kernel over mapInPandas partials), derandomized
+
+Design rules shared with the CQF:
+
+1. **Deterministic hashing** — every SQL-expressible sketch hashes with
+   the md5-derived 60-bit hash (textops.spark_hash60), which DuckDB
+   reproduces bit-for-bit (duckdb_hash60). The sketch contents and the
+   ESTIMATES themselves are therefore oracle-checkable quantities, not
+   trusted approximations.
+2. **Merge == rebuild, exactly.** HLL/count-min/Bloom/bottom-k are
+   deterministic functions of the input multiset, so merging partial
+   sketches built over ANY partition of the input yields *row-identical*
+   results to building over the whole — associativity is tested as
+   equality (tests/test_sketches.py), the strongest form of the merge
+   property the north rule asks for.
+3. **Scale shape** — every build is one explode (bounded fan-out: k hash
+   functions / depth rows) + one groupBy with map-side partial
+   aggregation; sketch tables are tiny (registers/counters/bits), so
+   downstream joins against them broadcast. The only data-sized shuffle
+   anywhere is the groupBy's partial-aggregate exchange. bottom-k's
+   global min-k runs as TakeOrdered (per-partition top-k + driver merge
+   of k-sized lists), never a full sort.
+4. **Estimate determinism across engines** — floating-point summation
+   order differs between Spark and DuckDB, so HLL's harmonic sum is kept
+   in EXACT integer arithmetic (sum of ``1 << (K - rho)`` fits int64 by
+   construction: p + K = 61) and converted to double once; the estimate
+   is then a single literal-constant division, identical in IEEE terms
+   on both engines. Quantile estimates use explicit lower-interpolation
+   rank arithmetic instead of engine-specific percentile interpolation.
+
+The Python-kernel sketches (t-digest, KLL) are not SQL-expressible; their
+correctness gate is the published error bound itself: the entry queries
+emit per-quantile ``ok`` booleans (rank error <= bound) whose oracle is
+the constant TRUE — if the digest ever violates its bound, the gate goes
+red (same pattern as the ANN recall gate in similarity.py).
+
+Reference parity note: go-qfext is a quotient-filter library only; this
+module is the "beyond the reference" half of the brief (sketch library
+for web-scale training pipelines). No reference file corresponds to it.
+"""
+
+from __future__ import annotations
+
+import bisect
+import math
+
+from pyspark.sql import DataFrame, functions as F
+
+from .textops import duckdb_hash60, spark_hash60
+
+HASH_BITS = 60  # width of the md5-derived deterministic hash
+
+
+# ===========================================================================
+# HyperLogLog
+# ===========================================================================
+
+def _hll_alpha(m: int) -> float:
+    """Bias-correction constant (Flajolet et al. 2007, HyperLogLog)."""
+    if m <= 16:
+        return 0.673
+    if m <= 32:
+        return 0.697
+    if m <= 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_registers(df: DataFrame, col: str, p: int = 12) -> DataFrame:
+    """(bucket, rho_max) HLL register table over ``col``; 2^p registers.
+
+    bucket = low p bits of hash60(key); rho = 1 + leading-zero count of
+    the remaining 60-p bits (computed with integer/string ops —
+    ``length(bin(w))`` is the bit length — so both engines agree
+    exactly). Only NON-EMPTY buckets materialize; empty ones are implicit
+    (the estimator accounts for them from the bucket count).
+
+    Merge: union register tables and re-run ``hll_merge`` (groupBy max)
+    — associative, and equal to building over the concatenated input.
+    """
+    if not (4 <= p <= 18):
+        raise ValueError(f"p must be in [4, 18], got {p}")
+    m = 1 << p
+    w_bits = HASH_BITS - p
+    h = spark_hash60(col)
+    return (
+        df.where(F.col(col).isNotNull())
+        .select(F.expr(h).alias("_h"))
+        .select(
+            F.expr(f"CAST(pmod(_h, {m}) AS INT)").alias("bucket"),
+            F.expr(f"shiftrightunsigned(_h, {p})").alias("_w"),
+        )
+        .select(
+            "bucket",
+            F.expr(
+                f"CAST(CASE WHEN _w = 0 THEN {w_bits + 1} "
+                f"ELSE {w_bits} - length(bin(_w)) + 1 END AS INT)"
+            ).alias("rho"),
+        )
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("rho_max"))
+    )
+
+
+def hll_merge(*register_dfs: DataFrame) -> DataFrame:
+    """Merge register tables: register-wise max. Associative and
+    commutative; merging partials over any split of the input equals the
+    registers of the whole input, row for row."""
+    it = iter(register_dfs)
+    out = next(it)
+    for d in it:
+        out = out.unionByName(d)
+    return out.groupBy("bucket").agg(F.max("rho_max").alias("rho_max"))
+
+
+def hll_estimate(register_df: DataFrame, p: int) -> DataFrame:
+    """One-row cardinality estimate from a register table:
+    (m, nonempty_buckets, zero_buckets, sum_scaled, estimate).
+
+    ``sum_scaled`` is the harmonic sum in exact integer form:
+    S = sum over all m buckets of 2^(K - rho) with K = (60-p)+1 and
+    rho = 0 for empty buckets — max possible S is m * 2^K = 2^61, so it
+    fits int64 exactly and is independent of summation order (the
+    engine-portability trap a double sum would hit). The raw estimate is
+    then alpha * m^2 * 2^K / S — one double division of exact integers —
+    with the standard linear-counting correction for the small range."""
+    m = 1 << p
+    k_max = (HASH_BITS - p) + 1
+    numer = _hll_alpha(m) * m * m * (2.0 ** k_max)
+    agg = register_df.agg(
+        F.count(F.lit(1)).cast("int").alias("nonempty_buckets"),
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {k_max} - rho_max)"))
+        .cast("long").alias("_s_nonempty"),
+    )
+    return agg.select(
+        F.lit(m).cast("int").alias("m"),
+        F.coalesce("nonempty_buckets", F.lit(0)).alias("nonempty_buckets"),
+        (F.lit(m) - F.coalesce("nonempty_buckets", F.lit(0)))
+        .cast("int").alias("zero_buckets"),
+        (F.coalesce("_s_nonempty", F.lit(0))
+         + (F.lit(m) - F.coalesce("nonempty_buckets", F.lit(0)))
+         * F.lit(1 << k_max)).cast("long").alias("sum_scaled"),
+    ).select(
+        "m", "nonempty_buckets", "zero_buckets", "sum_scaled",
+        F.round(
+            F.when(
+                (F.lit(numer) / F.col("sum_scaled") <= 2.5 * m)
+                & (F.col("zero_buckets") > 0),
+                F.lit(float(m)) * F.log(F.lit(float(m))
+                                        / F.col("zero_buckets")),
+            ).otherwise(F.lit(numer) / F.col("sum_scaled")),
+            1,
+        ).alias("estimate"),
+    )
+
+
+def hll_cardinality(df: DataFrame, col: str, p: int = 12) -> DataFrame:
+    """Registers + estimate composed: the one-call distinct-count path."""
+    return hll_estimate(hll_registers(df, col, p), p)
+
+
+def hll_error_bound(p: int, sigmas: float = 3.0) -> float:
+    """Published relative standard error 1.04/sqrt(m), scaled."""
+    return sigmas * 1.04 / math.sqrt(1 << p)
+
+
+def duckdb_hll_sql(col: str, p: int, source: str) -> str:
+    """DuckDB twin of ``hll_cardinality`` — identical registers (same
+    md5-derived hash, same bit arithmetic) and the identical estimate
+    (exact-integer harmonic sum, one double division, same linear-count
+    correction), so the estimate VALUE is the oracle-checked quantity.
+    ``source`` is a table name or a parenthesized subquery."""
+    m = 1 << p
+    w_bits = HASH_BITS - p
+    k_max = w_bits + 1
+    numer = repr(_hll_alpha(m) * m * m * (2.0 ** k_max))
+    h = duckdb_hash60(col)
+    return f"""
+        WITH hashed AS (
+            SELECT {h} AS h FROM {source} WHERE {col} IS NOT NULL
+        ),
+        rho AS (
+            SELECT CAST(h % {m} AS INT) AS bucket,
+                   CAST(CASE WHEN (h >> {p}) = 0 THEN {w_bits + 1}
+                        ELSE {w_bits} - length(bin(h >> {p})) + 1
+                        END AS INT) AS rho
+            FROM hashed
+        ),
+        regs AS (
+            SELECT bucket, MAX(rho) AS rho_max FROM rho GROUP BY bucket
+        ),
+        agg AS (
+            SELECT CAST(COUNT(*) AS INT) AS nonempty_buckets,
+                   CAST(COALESCE(SUM(1::BIGINT << ({k_max} - rho_max)), 0)
+                        AS BIGINT) AS s_nonempty
+            FROM regs
+        ),
+        ing AS (
+            SELECT {m}::INT AS m, nonempty_buckets,
+                   CAST({m} - nonempty_buckets AS INT) AS zero_buckets,
+                   CAST(s_nonempty
+                        + ({m} - nonempty_buckets) * (1::BIGINT << {k_max})
+                        AS BIGINT) AS sum_scaled
+            FROM agg
+        )
+        SELECT m, nonempty_buckets, zero_buckets, sum_scaled,
+               round(CASE WHEN {numer} / sum_scaled <= {2.5 * m}
+                          AND zero_buckets > 0
+                     THEN {float(m)} * ln({float(m)} / zero_buckets)
+                     ELSE {numer} / sum_scaled END, 1) AS estimate
+        FROM ing
+    """
+
+
+# ===========================================================================
+# count-min
+# ===========================================================================
+
+def countmin_table(df: DataFrame, col: str, depth: int = 4,
+                   width: int = 1024) -> DataFrame:
+    """(row, col_idx, cnt) count-min counter table: row i counts key
+    occurrences at column hash_i(key) = hash60(i || ':' || key) % width.
+    One bounded explode (depth rows per input row) + one groupBy over at
+    most depth*width cells — partial aggregation collapses everything
+    map-side.
+
+    Merge: union tables + ``countmin_merge`` (groupBy sum) — exact."""
+    h = spark_hash60(f"concat(i, ':', {col})")
+    return (
+        df.where(F.col(col).isNotNull())
+        .select(
+            F.col(col),
+            F.explode(F.expr(f"sequence(0, {depth - 1})")).alias("i"),
+        )
+        .select(
+            F.col("i").cast("int").alias("row"),
+            F.expr(f"CAST(pmod({h}, {width}) AS INT)").alias("col_idx"),
+        )
+        .groupBy("row", "col_idx")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def countmin_merge(*tables: DataFrame) -> DataFrame:
+    """Merge counter tables: cell-wise sum. Exact-associative."""
+    it = iter(tables)
+    out = next(it)
+    for d in it:
+        out = out.unionByName(d)
+    return out.groupBy("row", "col_idx").agg(F.sum("cnt").alias("cnt"))
+
+
+def countmin_query(cm_df: DataFrame, probes: DataFrame, col: str,
+                   depth: int = 4, width: int = 1024) -> DataFrame:
+    """Point-frequency estimates for ``probes[col]``: min over rows of
+    the counter each hash lands on (missing cell = 0). The counter table
+    is tiny (<= depth*width rows) so the join broadcasts. Guarantee:
+    estimate >= true count always; overestimate by more than
+    2N/width with probability <= (1/2)^depth (Cormode & Muthukrishnan
+    2005)."""
+    h = spark_hash60(f"concat(i, ':', {col})")
+    exploded = (
+        probes.select(col).where(F.col(col).isNotNull()).distinct()
+        .select(
+            F.col(col),
+            F.explode(F.expr(f"sequence(0, {depth - 1})")).alias("i"),
+        )
+        .select(
+            F.col(col),
+            F.col("i").cast("int").alias("row"),
+            F.expr(f"CAST(pmod({h}, {width}) AS INT)").alias("col_idx"),
+        )
+    )
+    return (
+        exploded.join(F.broadcast(cm_df), ["row", "col_idx"], "left")
+        .groupBy(col)
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("cm_count"))
+    )
+
+
+def duckdb_countmin_sql(col: str, depth: int, width: int,
+                        source: str, probe_source: str | None = None) -> str:
+    """DuckDB twin of countmin_table + countmin_query over the same
+    probes (defaults to the distinct keys of ``source``)."""
+    h_build = duckdb_hash60(f"(i || ':' || {col})")
+    probe_source = probe_source or source
+    return f"""
+        WITH cm AS (
+            SELECT CAST(i AS INT) AS row,
+                   CAST({h_build} % {width} AS INT) AS col_idx,
+                   COUNT(*) AS cnt
+            FROM {source}, unnest(range(0, {depth})) AS t(i)
+            WHERE {col} IS NOT NULL
+            GROUP BY 1, 2
+        ),
+        probes AS (
+            SELECT DISTINCT {col} FROM {probe_source}
+            WHERE {col} IS NOT NULL
+        ),
+        expl AS (
+            SELECT {col}, CAST(i AS INT) AS row,
+                   CAST({h_build} % {width} AS INT) AS col_idx
+            FROM probes, unnest(range(0, {depth})) AS t(i)
+        )
+        SELECT e.{col}, MIN(COALESCE(cm.cnt, 0)) AS cm_count
+        FROM expl e LEFT JOIN cm USING (row, col_idx)
+        GROUP BY e.{col}
+    """
+
+
+# ===========================================================================
+# Bloom filter
+# ===========================================================================
+
+def bloom_bits(df: DataFrame, col: str, m_bits: int = 1 << 16,
+               k: int = 4) -> DataFrame:
+    """(bit_pos) set-bit table of a Bloom filter: positions
+    hash60(i || ':' || key) % m_bits for i in 0..k-1, distinct.
+
+    Merge: union + distinct — the bit-OR of the filters; exact."""
+    h = spark_hash60(f"concat(i, ':', {col})")
+    return (
+        df.where(F.col(col).isNotNull())
+        .select(
+            F.col(col),
+            F.explode(F.expr(f"sequence(0, {k - 1})")).alias("i"),
+        )
+        .select(F.expr(f"CAST(pmod({h}, {m_bits}) AS INT)").alias("bit_pos"))
+        .distinct()
+    )
+
+
+def bloom_merge(*bit_dfs: DataFrame) -> DataFrame:
+    """Bit-OR of Bloom filters: union of set positions."""
+    it = iter(bit_dfs)
+    out = next(it)
+    for d in it:
+        out = out.unionByName(d)
+    return out.distinct()
+
+
+def bloom_contains(bits_df: DataFrame, probes: DataFrame, col: str,
+                   m_bits: int = 1 << 16, k: int = 4) -> DataFrame:
+    """(key, bloom_seen) membership: seen iff ALL k bit positions are
+    set. Zero false negatives by construction; false-positive rate
+    ~ (1 - e^(-k*n/m))^k (Bloom 1970). The bit table broadcasts."""
+    h = spark_hash60(f"concat(i, ':', {col})")
+    exploded = (
+        probes.select(col).where(F.col(col).isNotNull()).distinct()
+        .select(
+            F.col(col),
+            F.explode(F.expr(f"sequence(0, {k - 1})")).alias("i"),
+        )
+        .select(F.col(col),
+                F.expr(f"CAST(pmod({h}, {m_bits}) AS INT)").alias("bit_pos"))
+    )
+    hit = F.when(F.col("_set").isNotNull(), 1).otherwise(0)
+    return (
+        exploded.join(
+            F.broadcast(bits_df.withColumn("_set", F.lit(1))),
+            "bit_pos", "left")
+        .groupBy(col)
+        .agg((F.min(hit) == 1).alias("bloom_seen"))
+    )
+
+
+def bloom_fp_rate(m_bits: int, k: int, n: int) -> float:
+    """Published false-positive rate for n inserted keys."""
+    return (1.0 - math.exp(-k * n / m_bits)) ** k
+
+
+def duckdb_bloom_sql(col: str, m_bits: int, k: int, source: str,
+                     probe_source: str) -> str:
+    h = duckdb_hash60(f"(i || ':' || {col})")
+    return f"""
+        WITH bits AS (
+            SELECT DISTINCT CAST({h} % {m_bits} AS INT) AS bit_pos
+            FROM {source}, unnest(range(0, {k})) AS t(i)
+            WHERE {col} IS NOT NULL
+        ),
+        probes AS (
+            SELECT DISTINCT {col} FROM {probe_source}
+            WHERE {col} IS NOT NULL
+        ),
+        expl AS (
+            SELECT {col}, CAST({h} % {m_bits} AS INT) AS bit_pos
+            FROM probes, unnest(range(0, {k})) AS t(i)
+        )
+        SELECT e.{col},
+               MIN(CASE WHEN b.bit_pos IS NOT NULL THEN 1 ELSE 0 END) = 1
+                   AS bloom_seen
+        FROM expl e LEFT JOIN bits b USING (bit_pos)
+        GROUP BY e.{col}
+    """
+
+
+# ===========================================================================
+# bottom-k (hash-ordered uniform sample: quantiles + distinct sampling)
+# ===========================================================================
+
+def bottomk_sketch(df: DataFrame, key_col: str, value_col: str,
+                   k: int = 512) -> DataFrame:
+    """The k rows whose hash60(key) ranks smallest — a deterministic
+    uniform sample of distinct keys (Cohen & Kaplan's bottom-k sketch
+    family). Returns (h, key, value) rows.
+
+    Mergeable: the bottom-k of a union is the bottom-k of the
+    concatenated bottom-k's (``bottomk_merge``) — exactly, not
+    approximately. Spark executes the global order-limit as
+    TakeOrdered: per-partition top-k then a driver merge of k-sized
+    lists; no full sort, no shuffle of the data."""
+    return (
+        df.where(F.col(key_col).isNotNull())
+        .select(
+            F.expr(spark_hash60(key_col)).alias("h"),
+            F.col(key_col).alias("key"),
+            F.col(value_col).alias("value"),
+        )
+        .orderBy("h", "key")
+        .limit(k)
+    )
+
+
+def bottomk_merge(a: DataFrame, b: DataFrame, k: int = 512) -> DataFrame:
+    return a.unionByName(b).orderBy("h", "key").limit(k)
+
+
+def bottomk_quantiles(sketch_df: DataFrame, qs: list[float]) -> DataFrame:
+    """(q, est_value) quantile estimates from the sample, with explicit
+    LOWER interpolation — element at index floor(q * (n-1)) of the
+    sorted sample values — so both engines compute the identical value
+    (engine-native percentile functions interpolate differently).
+    Rank error of a uniform k-sample: stddev sqrt(q(1-q)/k) <= 0.5/sqrt(k)
+    (sampling theory), so |rank(est) - q| <= ~2/sqrt(k) at 4 sigma."""
+    # CAST each literal: Spark parses bare decimal literals as DECIMAL,
+    # not DOUBLE, which changes the output type (and the rank arithmetic)
+    qlit = ", ".join(f"CAST({float(q)!r} AS DOUBLE)" for q in qs)
+    return (
+        sketch_df.agg(
+            F.expr("sort_array(collect_list(CAST(value AS DOUBLE)))")
+            .alias("vals"))
+        .select(F.explode(F.expr(f"array({qlit})")).alias("q"), "vals")
+        .select(
+            "q",
+            F.expr(
+                "vals[CAST(floor(q * (size(vals) - 1)) AS INT)]"
+            ).alias("est_value"),
+        )
+    )
+
+
+def duckdb_bottomk_quantiles_sql(key_col: str, value_col: str, k: int,
+                                 qs: list[float], source: str) -> str:
+    h = duckdb_hash60(key_col)
+    qlit = ", ".join(f"CAST({float(q)!r} AS DOUBLE)" for q in qs)
+    return f"""
+        WITH sk AS (
+            SELECT {h} AS h, {key_col} AS key,
+                   CAST({value_col} AS DOUBLE) AS value
+            FROM {source} WHERE {key_col} IS NOT NULL
+            ORDER BY h, key LIMIT {k}
+        ),
+        vals AS (SELECT list_sort(list(value)) AS vals FROM sk)
+        SELECT q, vals[CAST(floor(q * (len(vals) - 1)) AS INT) + 1]
+                   AS est_value
+        FROM vals, unnest([{qlit}]) AS t(q)
+    """
+
+
+# ===========================================================================
+# t-digest (Python kernel; merging variant, Dunning & Ertl 2019)
+# ===========================================================================
+
+class TDigest:
+    """Merging t-digest with the k1 (arcsine) scale function. Centroids
+    are (mean, weight) pairs sorted by mean; a compression pass bounds
+    each centroid's k-size to 1, which concentrates resolution at the
+    tails — rank error ~ q(1-q), the property the published bound rides
+    on. Deterministic: inputs are sorted before clustering and merges
+    concatenate sorted centroid streams, so no RNG anywhere."""
+
+    __slots__ = ("compression", "means", "weights")
+
+    def __init__(self, compression: int = 100):
+        self.compression = int(compression)
+        self.means: list[float] = []
+        self.weights: list[float] = []
+
+    # -- scale function ----------------------------------------------------
+    def _k(self, q: float) -> float:
+        q = min(max(q, 0.0), 1.0)
+        return self.compression / (2.0 * math.pi) * math.asin(2.0 * q - 1.0)
+
+    # -- construction ------------------------------------------------------
+    @classmethod
+    def from_values(cls, values, compression: int = 100) -> "TDigest":
+        d = cls(compression)
+        pairs = sorted((float(v), 1.0) for v in values)
+        d._set_compressed(pairs)
+        return d
+
+    def _set_compressed(self, pairs) -> None:
+        """Compress a mean-sorted (mean, weight) stream into centroids
+        obeying the k-size bound."""
+        total = sum(w for _, w in pairs)
+        self.means, self.weights = [], []
+        if total == 0:
+            return
+        q0 = 0.0
+        cur_m, cur_w = pairs[0]
+        for m, w in pairs[1:]:
+            if self._k((q0 * total + cur_w + w) / total) - self._k(q0) <= 1.0:
+                cur_m = (cur_m * cur_w + m * w) / (cur_w + w)
+                cur_w += w
+            else:
+                self.means.append(cur_m)
+                self.weights.append(cur_w)
+                q0 += cur_w / total
+                cur_m, cur_w = m, w
+        self.means.append(cur_m)
+        self.weights.append(cur_w)
+
+    def merge(self, other: "TDigest") -> "TDigest":
+        out = TDigest(max(self.compression, other.compression))
+        pairs = sorted(
+            list(zip(self.means, self.weights))
+            + list(zip(other.means, other.weights))
+        )
+        if pairs:
+            out._set_compressed(pairs)
+        return out
+
+    @property
+    def total_weight(self) -> float:
+        return sum(self.weights)
+
+    # -- queries -------------------------------------------------------
+    def quantile(self, q: float) -> float:
+        if not self.means:
+            raise ValueError("empty digest")
+        total = self.total_weight
+        target = q * total
+        cum = 0.0
+        for i, w in enumerate(self.weights):
+            if cum + w >= target:
+                return self.means[i]
+            cum += w
+        return self.means[-1]
+
+    # -- DataFrame transport -------------------------------------------
+    def to_rows(self) -> list[tuple]:
+        return list(zip(self.means, self.weights))
+
+    @classmethod
+    def from_rows(cls, rows, compression: int = 100) -> "TDigest":
+        d = cls(compression)
+        pairs = sorted((float(m), float(w)) for m, w in rows)
+        if pairs:
+            d._set_compressed(pairs)
+        return d
+
+
+def tdigest_build(df: DataFrame, value_col: str,
+                  compression: int = 100) -> TDigest:
+    """Distributed t-digest: one partial digest per partition
+    (mapInPandas — each partition's values never leave the executor;
+    only ~compression centroid rows do), merged pairwise on the driver.
+    The mergeable-UDAF shape: at 10^12 rows the exchange is
+    O(partitions * compression) centroid pairs, nothing else."""
+    import pandas as pd
+
+    comp = compression
+
+    def _partial(batches):
+        vals: list[float] = []
+        for b in batches:
+            vals.extend(float(x) for x in b[value_col].dropna())
+        if vals:
+            d = TDigest.from_values(vals, comp)
+            yield pd.DataFrame({"mean": d.means, "weight": d.weights})
+
+    rows = (
+        df.select(value_col)
+        .mapInPandas(_partial, "mean double, weight double")
+        .collect()
+    )
+    return TDigest.from_rows([(r["mean"], r["weight"]) for r in rows],
+                             comp)
+
+
+# ===========================================================================
+# KLL (compactor-based quantiles; derandomized)
+# ===========================================================================
+
+class KLLSketch:
+    """KLL-style compactor sketch (Karnin, Lang, Liberty 2016) with a
+    DETERMINISTIC compaction coin: each level alternates keeping odd and
+    even positions on successive compactions instead of flipping a
+    random coin. This trades the randomized guarantee for run-to-run
+    reproducibility (the property every other sketch here has); the
+    deterministic alternation keeps the compaction unbiased over pairs
+    of compactions, and the achieved rank error is property-tested
+    against the published-order bound in tests/test_sketches.py.
+
+    Level h holds items each representing 2^h inputs; compacting level h
+    sorts it and promotes every other item to level h+1."""
+
+    __slots__ = ("k", "levels", "parities", "n")
+
+    def __init__(self, k: int = 256):
+        self.k = int(k)
+        self.levels: list[list[float]] = [[]]
+        self.parities: list[int] = [0]
+        self.n = 0
+
+    def _capacity(self, h: int) -> int:
+        # geometrically shrinking lower-level capacities (c = 2/3)
+        top = len(self.levels) - 1
+        return max(2, int(math.ceil(self.k * (2.0 / 3.0) ** (top - h))))
+
+    def update(self, value: float) -> None:
+        self.extend([value])
+
+    def extend(self, values) -> None:
+        vals = [float(v) for v in values]
+        self.levels[0].extend(vals)
+        self.n += len(vals)
+        self._compress()
+
+    def _compress(self) -> None:
+        h = 0
+        while h < len(self.levels):
+            if len(self.levels[h]) > self._capacity(h):
+                buf = sorted(self.levels[h])
+                off = self.parities[h] & 1
+                self.parities[h] += 1
+                promoted = buf[off::2]
+                self.levels[h] = []
+                if h + 1 == len(self.levels):
+                    self.levels.append([])
+                    self.parities.append(0)
+                self.levels[h + 1].extend(promoted)
+            h += 1
+
+    def merge(self, other: "KLLSketch") -> "KLLSketch":
+        out = KLLSketch(max(self.k, other.k))
+        depth = max(len(self.levels), len(other.levels))
+        out.levels = [[] for _ in range(depth)]
+        out.parities = [0] * depth
+        for src in (self, other):
+            for h, buf in enumerate(src.levels):
+                out.levels[h].extend(buf)
+        out.n = self.n + other.n
+        out._compress()
+        return out
+
+    def _weighted(self):
+        items = []
+        for h, buf in enumerate(self.levels):
+            w = 1 << h
+            items.extend((v, w) for v in buf)
+        items.sort()
+        return items
+
+    def rank(self, value: float) -> float:
+        """Estimated fraction of inputs <= value."""
+        if self.n == 0:
+            raise ValueError("empty sketch")
+        total = 0
+        below = 0
+        for v, w in self._weighted():
+            total += w
+            if v <= value:
+                below += w
+        return below / total
+
+    def quantile(self, q: float) -> float:
+        if self.n == 0:
+            raise ValueError("empty sketch")
+        items = self._weighted()
+        total = sum(w for _, w in items)
+        target = q * total
+        cum = 0
+        for v, w in items:
+            cum += w
+            if cum >= target:
+                return v
+        return items[-1][0]
+
+
+def kll_build(df: DataFrame, value_col: str, k: int = 256) -> KLLSketch:
+    """Distributed KLL: per-partition sketches via mapInPandas, merged
+    on the driver. The exchange is O(partitions * k * log) level rows."""
+    import pandas as pd
+
+    kk = k
+
+    def _partial(batches):
+        sk = KLLSketch(kk)
+        for b in batches:
+            sk.extend(float(x) for x in b[value_col].dropna())
+        rows = [(h, v) for h, buf in enumerate(sk.levels) for v in buf]
+        if rows:
+            yield pd.DataFrame(
+                {"level": [r[0] for r in rows],
+                 "value": [r[1] for r in rows]})
+
+    rows = (
+        df.select(value_col)
+        .mapInPandas(_partial, "level int, value double")
+        .collect()
+    )
+    out = KLLSketch(k)
+    if not rows:
+        return out
+    depth = max(r["level"] for r in rows) + 1
+    out.levels = [[] for _ in range(depth)]
+    out.parities = [0] * depth
+    for r in rows:
+        out.levels[r["level"]].append(r["value"])
+    out.n = sum(len(buf) << h for h, buf in enumerate(out.levels))
+    out._compress()
+    return out
+
+
+# ===========================================================================
+# bound-check queries (the oracle for the Python-kernel sketches)
+# ===========================================================================
+
+def quantile_bound_check(df: DataFrame, value_col: str,
+                         qs: list[float], kind: str = "tdigest",
+                         compression: int = 100, k: int = 256,
+                         bound: float | None = None) -> DataFrame:
+    """(q, ok) rows: does the sketch's quantile estimate sit within the
+    documented rank-error bound of the exact quantile? This is the
+    correctness gate for the non-SQL-expressible sketches: the DuckDB
+    oracle for this query is the constant TRUE per q — any bound
+    violation turns the gate red (same pattern as the ANN recall gate).
+
+    Rank error is measured in rank space (fraction of values between the
+    estimate and the exact quantile), the metric both papers bound:
+    t-digest ~ eps proportional to q(1-q)/compression; KLL ~ O(1/k)."""
+    spark = df.sparkSession
+    if kind == "tdigest":
+        sk = tdigest_build(df, value_col, compression)
+        est = {q: sk.quantile(q) for q in qs}
+        if bound is None:
+            # conservative engineering bound for the k1 merging digest:
+            # observed max rank error is well under 6/compression at the
+            # median and shrinks toward the tails
+            bound = 6.0 / compression
+    elif kind == "kll":
+        sk = kll_build(df, value_col, k)
+        est = {q: sk.quantile(q) for q in qs}
+        if bound is None:
+            # published order: eps = O(1/k) up to log factors; the
+            # constant below is property-tested in tests/test_sketches.py
+            bound = 12.0 / k
+    else:
+        raise ValueError(f"unknown sketch kind {kind!r}")
+
+    vals = sorted(r[0] for r in df.select(value_col).dropna().collect())
+    n = len(vals)
+    rows = []
+    for q in qs:
+        # a tied value occupies a rank INTERVAL [left, right]; the error
+        # is the distance from q to that interval (a heavy tie at the
+        # true quantile would otherwise read as a huge false error)
+        lo = bisect.bisect_left(vals, est[q]) / n
+        hi = bisect.bisect_right(vals, est[q]) / n
+        err = max(0.0, lo - q, q - hi)
+        rows.append((float(q), bool(err <= bound)))
+    return spark.createDataFrame(rows, "q double, ok boolean")
+
+
+def duckdb_quantile_bound_sql(qs: list[float]) -> str:
+    """The oracle twin of ``quantile_bound_check``: TRUE per q."""
+    qlit = ", ".join(f"CAST({float(q)!r} AS DOUBLE)" for q in qs)
+    return f"SELECT q, TRUE AS ok FROM unnest([{qlit}]) AS t(q)"
+
+
+# ===========================================================================
+# checkpointing (lineage-carrying sketch tables)
+# ===========================================================================
+
+def checkpoint_sketch(df: DataFrame, path: str, kind: str) -> None:
+    """Write a sketch table (registers/counters/bits/sample) as parquet
+    with lineage columns (sketch kind, build timestamp, code version) —
+    the same resumability contract the CQF shard table has: a downstream
+    job reads the checkpoint instead of rebuilding, and stale mixes are
+    detectable by build_ts."""
+    import time as _time
+
+    from . import __version__
+    from .sources import write_checkpoint
+
+    write_checkpoint(
+        df.withColumn("sketch_kind", F.lit(kind))
+        .withColumn("build_ts", F.lit(_time.time()))
+        .withColumn("code_version", F.lit(__version__)),
+        path,
+    )
+
+
+def read_sketch(spark, path: str) -> DataFrame:
+    from .sources import read_table
+
+    return read_table(spark, path).drop(
+        "sketch_kind", "build_ts", "code_version")

@@ -1,0 +1,303 @@
+"""Sketch library tests: estimate accuracy within published bounds,
+merge == rebuild exactness for the deterministic sketches, error bounds
+for the Python-kernel quantile sketches, checkpoint round-trip."""
+
+import math
+import random
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from qfspark import sketches
+from qfspark.sketches import (
+    KLLSketch,
+    TDigest,
+    bloom_bits,
+    bloom_contains,
+    bloom_fp_rate,
+    bloom_merge,
+    bottomk_merge,
+    bottomk_quantiles,
+    bottomk_sketch,
+    countmin_merge,
+    countmin_query,
+    countmin_table,
+    hll_cardinality,
+    hll_error_bound,
+    hll_merge,
+    hll_registers,
+    kll_build,
+    quantile_bound_check,
+    tdigest_build,
+)
+
+
+def _keys(spark, n, dup_every=0):
+    df = spark.range(n).selectExpr("concat('k', id) AS key")
+    if dup_every:
+        df = df.unionByName(
+            spark.range(0, n, dup_every).selectExpr("concat('k', id) AS key"))
+    return df
+
+
+# ---------------------------------------------------------------------------
+# HLL
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("n,p", [(1000, 10), (20000, 12), (50, 8)])
+def test_hll_estimate_within_bound(spark, n, p):
+    est = hll_cardinality(_keys(spark, n), "key", p).collect()[0]
+    rel_err = abs(est.estimate - n) / n
+    assert rel_err <= hll_error_bound(p, sigmas=4.0), (est.estimate, n)
+
+
+def test_hll_duplicates_dont_count(spark):
+    df = _keys(spark, 5000, dup_every=2)  # +2500 duplicate rows
+    est = hll_cardinality(df, "key", 12).collect()[0]
+    assert abs(est.estimate - 5000) / 5000 <= hll_error_bound(12, 4.0)
+
+
+def test_hll_merge_equals_rebuild(spark):
+    df = _keys(spark, 8000)
+    a = hll_registers(df.limit(0), "key", 10)
+    left = hll_registers(df.where(F.expr("substr(key, 2) % 2 = 0")), "key", 10)
+    right = hll_registers(df.where(F.expr("substr(key, 2) % 2 = 1")), "key", 10)
+    merged = sorted(hll_merge(left, right, a).collect())
+    direct = sorted(hll_registers(df, "key", 10).collect())
+    assert merged == direct  # row-identical, not approximately
+
+
+def test_hll_oracle_twin_matches(spark, tmp_path):
+    import duckdb
+
+    df = _keys(spark, 3000, dup_every=3)
+    df.write.mode("overwrite").parquet(str(tmp_path / "keys"))
+    spark_row = hll_cardinality(
+        spark.read.parquet(str(tmp_path / "keys")), "key", 10
+    ).collect()[0].asDict()
+    con = duckdb.connect()
+    duck_row = con.sql(
+        sketches.duckdb_hll_sql(
+            "key", 10, f"read_parquet('{tmp_path}/keys/*.parquet')")
+    ).df().iloc[0].to_dict()
+    for k in ("m", "nonempty_buckets", "zero_buckets", "sum_scaled"):
+        assert int(spark_row[k]) == int(duck_row[k]), k
+    assert float(spark_row["estimate"]) == float(duck_row["estimate"])
+
+
+# ---------------------------------------------------------------------------
+# count-min
+# ---------------------------------------------------------------------------
+
+def test_countmin_overestimates_only_and_tight(spark):
+    # skewed frequencies: key i appears (i % 7) + 1 times
+    df = (spark.range(500)
+          .selectExpr("concat('k', id) AS key", "CAST(id % 7 + 1 AS INT) AS c")
+          .selectExpr("key", "explode(sequence(1, c)) AS _i")
+          .select("key"))
+    cm = countmin_table(df, "key", depth=4, width=1024)
+    est = countmin_query(cm, df, "key", depth=4, width=1024)
+    true = df.groupBy("key").agg(F.count(F.lit(1)).alias("t"))
+    joined = est.join(true, "key").collect()
+    n_total = df.count()
+    over_bound = 2 * n_total / 1024  # published eps = 2/width
+    assert all(r.cm_count >= r.t for r in joined)  # never underestimates
+    bad = [r for r in joined if r.cm_count - r.t > over_bound]
+    # probability of exceeding eps*N per key is <= 2^-depth; allow a few
+    assert len(bad) <= max(2, int(0.1 * len(joined)))
+
+
+def test_countmin_merge_equals_rebuild(spark):
+    df = _keys(spark, 2000, dup_every=4)
+    left = countmin_table(df.where(F.expr("substr(key, 2) % 2 = 0")),
+                          "key", 3, 256)
+    right = countmin_table(df.where(F.expr("substr(key, 2) % 2 = 1")),
+                           "key", 3, 256)
+    merged = sorted(countmin_merge(left, right).collect())
+    direct = sorted(countmin_table(df, "key", 3, 256).collect())
+    assert merged == direct
+
+
+def test_countmin_absent_key_zero_or_small(spark):
+    df = _keys(spark, 100)
+    cm = countmin_table(df, "key", depth=4, width=4096)
+    probes = spark.createDataFrame([("absent-xyz",)], ["key"])
+    est = countmin_query(cm, probes, "key", depth=4, width=4096).collect()[0]
+    assert est.cm_count <= 2  # tiny collision mass at this load
+
+
+# ---------------------------------------------------------------------------
+# Bloom
+# ---------------------------------------------------------------------------
+
+def test_bloom_zero_false_negatives_and_fp_rate(spark):
+    members = _keys(spark, 4000)
+    bits = bloom_bits(members, "key", m_bits=1 << 16, k=4)
+    absents = spark.range(4000).selectExpr("concat('absent', id) AS key")
+    probes = members.unionByName(absents)
+    seen = bloom_contains(bits, probes, "key", m_bits=1 << 16, k=4)
+    res = {r.key: r.bloom_seen for r in seen.collect()}
+    assert all(res[f"k{i}"] for i in range(4000))  # zero FN
+    fps = sum(res[f"absent{i}"] for i in range(4000))
+    expected = bloom_fp_rate(1 << 16, 4, 4000)
+    assert fps / 4000 <= 4 * expected + 0.01
+
+
+def test_bloom_merge_equals_rebuild(spark):
+    df = _keys(spark, 3000)
+    left = bloom_bits(df.where(F.expr("substr(key, 2) % 2 = 0")),
+                      "key", 1 << 14, 3)
+    right = bloom_bits(df.where(F.expr("substr(key, 2) % 2 = 1")),
+                       "key", 1 << 14, 3)
+    merged = sorted(r.bit_pos for r in bloom_merge(left, right).collect())
+    direct = sorted(r.bit_pos for r in bloom_bits(df, "key", 1 << 14, 3)
+                    .collect())
+    assert merged == direct
+
+
+# ---------------------------------------------------------------------------
+# bottom-k
+# ---------------------------------------------------------------------------
+
+def test_bottomk_merge_equals_rebuild(spark):
+    df = spark.range(5000).selectExpr(
+        "concat('k', id) AS k", "CAST(id AS DOUBLE) AS v")
+    left = bottomk_sketch(df.where("id % 2 = 0"), "k", "v", 256)
+    right = bottomk_sketch(df.where("id % 2 = 1"), "k", "v", 256)
+    merged = sorted(bottomk_merge(left, right, 256).collect())
+    direct = sorted(bottomk_sketch(df, "k", "v", 256).collect())
+    assert merged == direct
+
+
+def test_bottomk_quantiles_rank_error(spark):
+    n, k = 20000, 1024
+    df = spark.range(n).selectExpr(
+        "concat('k', id) AS k", "CAST(id AS DOUBLE) AS v")
+    sk = bottomk_sketch(df, "k", "v", k)
+    qs = [0.1, 0.25, 0.5, 0.75, 0.9]
+    ests = {r.q: r.est_value for r in bottomk_quantiles(sk, qs).collect()}
+    for q in qs:
+        rank = ests[q] / (n - 1)  # values ARE their rank here
+        assert abs(rank - q) <= 2.5 / math.sqrt(k), (q, ests[q])
+
+
+# ---------------------------------------------------------------------------
+# t-digest (local kernel + distributed build)
+# ---------------------------------------------------------------------------
+
+def _rank_err(values_sorted, est, q):
+    """Distance from q to the rank INTERVAL the estimate occupies (ties
+    span [bisect_left, bisect_right]; any rank inside is consistent)."""
+    import bisect
+
+    n = len(values_sorted)
+    lo = bisect.bisect_left(values_sorted, est) / n
+    hi = bisect.bisect_right(values_sorted, est) / n
+    return max(0.0, lo - q, q - hi)
+
+
+@pytest.mark.parametrize("dist", ["uniform", "normal", "lognormal", "skew"])
+def test_tdigest_rank_error_bound(dist):
+    rng = random.Random(42)
+    if dist == "uniform":
+        vals = [rng.random() for _ in range(50000)]
+    elif dist == "normal":
+        vals = [rng.gauss(0, 1) for _ in range(50000)]
+    elif dist == "lognormal":
+        vals = [math.exp(rng.gauss(0, 2)) for _ in range(50000)]
+    else:
+        vals = [0.0] * 25000 + [rng.random() * 1e6 for _ in range(25000)]
+    d = TDigest.from_values(vals, compression=100)
+    s = sorted(vals)
+    for q in (0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99):
+        assert _rank_err(s, d.quantile(q), q) <= 6.0 / 100, (dist, q)
+
+
+def test_tdigest_merge_preserves_bound():
+    rng = random.Random(7)
+    a_vals = [rng.gauss(0, 1) for _ in range(20000)]
+    b_vals = [rng.gauss(5, 3) for _ in range(20000)]
+    merged = TDigest.from_values(a_vals, 100).merge(
+        TDigest.from_values(b_vals, 100))
+    s = sorted(a_vals + b_vals)
+    for q in (0.1, 0.5, 0.9):
+        assert _rank_err(s, merged.quantile(q), q) <= 8.0 / 100
+    assert merged.total_weight == pytest.approx(40000)
+    assert len(merged.means) <= 200  # bounded size after merge
+
+
+def test_tdigest_distributed_build(spark):
+    df = spark.range(30000).selectExpr(
+        "CAST(pmod(id * 2654435761, 97) AS DOUBLE) AS v").repartition(8)
+    d = tdigest_build(df, "v", compression=100)
+    vals = sorted(r.v for r in df.collect())
+    for q in (0.1, 0.5, 0.9):
+        assert _rank_err(vals, d.quantile(q), q) <= 6.0 / 100
+
+
+# ---------------------------------------------------------------------------
+# KLL
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("dist", ["uniform", "sorted", "reverse"])
+def test_kll_rank_error_bound(dist):
+    rng = random.Random(3)
+    vals = [rng.random() for _ in range(40000)]
+    if dist == "sorted":
+        vals.sort()
+    elif dist == "reverse":
+        vals.sort(reverse=True)
+    sk = KLLSketch(256)
+    sk.extend(vals)
+    s = sorted(vals)
+    for q in (0.05, 0.25, 0.5, 0.75, 0.95):
+        assert _rank_err(s, sk.quantile(q), q) <= 12.0 / 256, (dist, q)
+
+
+def test_kll_merge_preserves_bound():
+    rng = random.Random(11)
+    a_vals = [rng.random() for _ in range(15000)]
+    b_vals = [rng.random() * 10 for _ in range(15000)]
+    a = KLLSketch(256)
+    a.extend(a_vals)
+    b = KLLSketch(256)
+    b.extend(b_vals)
+    m = a.merge(b)
+    s = sorted(a_vals + b_vals)
+    for q in (0.1, 0.5, 0.9):
+        assert _rank_err(s, m.quantile(q), q) <= 16.0 / 256
+
+
+def test_kll_distributed_build(spark):
+    df = spark.range(25000).selectExpr(
+        "CAST(pmod(id * 11400714819323, 1013) AS DOUBLE) AS v"
+    ).repartition(8)
+    sk = kll_build(df, "v", k=256)
+    vals = sorted(r.v for r in df.collect())
+    for q in (0.1, 0.5, 0.9):
+        assert _rank_err(vals, sk.quantile(q), q) <= 12.0 / 256
+
+
+def test_quantile_bound_check_all_ok(spark):
+    df = spark.range(20000).selectExpr(
+        "CAST(pmod(id * 48271, 65537) AS DOUBLE) AS v")
+    for kind in ("tdigest", "kll"):
+        rows = quantile_bound_check(
+            df, "v", [0.1, 0.5, 0.9], kind=kind).collect()
+        assert all(r.ok for r in rows), (kind, rows)
+
+
+# ---------------------------------------------------------------------------
+# checkpoint round-trip
+# ---------------------------------------------------------------------------
+
+def test_sketch_checkpoint_roundtrip(spark, tmp_path):
+    df = _keys(spark, 2000)
+    regs = hll_registers(df, "key", 10)
+    path = str(tmp_path / "hll_ckpt")
+    sketches.checkpoint_sketch(regs, path, kind="hll")
+    back = sketches.read_sketch(spark, path)
+    assert sorted(back.collect()) == sorted(regs.collect())
+    est = sketches.hll_estimate(back, 10).collect()[0]
+    assert abs(est.estimate - 2000) / 2000 <= hll_error_bound(10, 4.0)
