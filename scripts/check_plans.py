@@ -104,6 +104,50 @@ def main():
     check("no broadcast of shard payloads", p6, r"BroadcastExchange",
           must_exist=False)
 
+    # 7. minhash LSH candidate list is persisted: the pair-keyed Jaccard
+    # verifier's three consumers read an InMemoryTableScan instead of
+    # re-running the banded self-join (round-3 fix)
+    from qfspark import dedup
+
+    docs_small = docs.limit(200)
+    p7 = plan_of(dedup.minhash_lsh_pairs(docs_small, threshold=0.2))
+    check("LSH candidate pairs read from cache", p7, r"InMemoryTableScan")
+
+    # 8. ANN candidate generation: the (t, bucket) self-join carries ids
+    # only — no embedding column anywhere in the candidate subtree
+    from qfspark import similarity
+
+    # no .limit() here: a bare limit inserts its own single-partition
+    # Exchange of the full row (the CollectLimit trap) and would
+    # contaminate the embedding-free-shuffle assertion below
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    buckets = similarity.lsh_bucketed(emb, planes=6, tables=2)
+    cand = (buckets.alias("q").join(buckets.alias("c"), ["t", "bucket"])
+            .where(F.col("q.id") != F.col("c.id")))
+    p8 = plan_of(cand)
+    # the scan READS the embedding (bucket keys are computed map-side);
+    # the property is that no Exchange SHIPS it: every shuffle node's
+    # Input line must be embedding-free
+    # (at this table size Spark may broadcast one side instead of
+    # shuffling — audit every data-movement node either way)
+    exchange_inputs = re.findall(
+        r"\(\d+\) \w*Exchange[^\n]*\nInput[^\n]*", p8)
+    bad = [x for x in exchange_inputs if "embedding" in x]
+    ok8 = re.search(r"Join", p8) is not None and not bad
+    failures.extend([] if ok8 else ["bucket exchange ships no embeddings"])
+    print(f"{'OK ' if ok8 else 'FAIL'} bucket exchange ships no embeddings")
+
+    # 9. sketch builds: HLL registers aggregate map-side with zero Python
+    from qfspark import sketches
+
+    p9 = plan_of(sketches.hll_registers(wp, "url", 10))
+    check("HLL register agg is partial", p9, r"partial_max|partial")
+    check("HLL build has no Python", p9, r"EvalPython", must_exist=False)
+    cm = sketches.countmin_table(wp, "url", 4, 256)
+    p10 = plan_of(sketches.countmin_query(cm, wp, "url", 4, 256))
+    check("count-min probe broadcasts the counter table", p10,
+          r"BroadcastHashJoin|BroadcastExchange")
+
     spark.stop()
     print("\n%d failures" % len(failures))
     sys.exit(1 if failures else 0)
