@@ -266,6 +266,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             similarity.lsh_cosine_topk(_emb(s, d), k=5, planes=6, tables=4),
             k=5,
         ),
+        # IVF ANN: deterministic coarse quantizer (hash-ordered bottom-k
+        # centroids), cell-equality candidate join; like the LSH path,
+        # the approximate result AND its recall are oracle-checked
+        "ivf_topk": lambda s, d: similarity.ivf_topk(
+            _emb(s, d), k=5, n_centroids=16, n_probe=2
+        ),
+        "ivf_ann_recall": lambda s, d: similarity.ann_recall_df(
+            similarity.cosine_topk(_emb(s, d), k=5),
+            similarity.ivf_topk(_emb(s, d), k=5, n_centroids=16, n_probe=2),
+            k=5,
+        ),
         # mergeable sketch library (north-rule family beyond the CQF):
         # HLL / count-min / Bloom / bottom-k estimates are deterministic
         # (md5-derived hashes, integer registers) so the ESTIMATES are
@@ -380,6 +391,10 @@ def oracle_sql() -> dict[str, str]:
             k=5, planes=6, tables=4),
         "lsh_ann_recall": similarity.duckdb_lsh_ann_recall_sql(
             k=5, planes=6, tables=4),
+        "ivf_topk": similarity.duckdb_ivf_topk_sql(
+            k=5, n_centroids=16, n_probe=2),
+        "ivf_ann_recall": similarity.duckdb_ivf_ann_recall_sql(
+            k=5, n_centroids=16, n_probe=2),
         "hll_url_cardinality": f"""
             WITH wp AS ({wp}),
             hll AS ({sketches.duckdb_hll_sql("url", 10, "wp")}),

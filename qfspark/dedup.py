@@ -543,25 +543,8 @@ def simhash_pairs(df: DataFrame, col: str = "text",
     """
     # pigeonhole completeness: with (max_hamming + 1) bands, any pair
     # within the distance bound agrees on at least one whole band
-    bands = max_hamming + 1
-    if bands > SIMHASH_BITS:
-        raise ValueError(f"max_hamming must be < {SIMHASH_BITS}")
-    width = SIMHASH_BITS // bands
     sh = simhash(df, col)
-    fps = sh.select("simhash").distinct()
-    band_exprs = []
-    for b in range(bands):
-        lo = b * width
-        w = SIMHASH_BITS - lo if b == bands - 1 else width
-        band_exprs.append(
-            f"struct({b} AS band, shiftrightunsigned(simhash, {lo}) "
-            f"& {(1 << w) - 1} AS key)"
-        )
-    banded = fps.select(
-        "simhash",
-        F.explode(F.expr("array(" + ", ".join(band_exprs) + ")")).alias("bb"),
-    ).select("simhash", F.col("bb.band").alias("band"),
-             F.col("bb.key").alias("key"))
+    banded = simhash_banded_fingerprints(sh, max_hamming)
     cand_fp = (
         banded.alias("a")
         .join(banded.alias("b"), ["band", "key"])
@@ -599,6 +582,32 @@ def simhash_pairs(df: DataFrame, col: str = "text",
         "doc_a", "doc_b",
         F.expr("bit_count(fp_a ^ fp_b)").alias("hamming"),
     )
+
+
+def simhash_banded_fingerprints(sh: DataFrame,
+                                max_hamming: int = 3) -> DataFrame:
+    """(simhash, band, key) rows: DISTINCT fingerprints exploded into
+    their pigeonhole bands — the candidate-generation substrate of
+    ``simhash_pairs``, exposed so candidate volume is measurable
+    (bench.py reports candidates examined vs true pairs)."""
+    bands = max_hamming + 1
+    if bands > SIMHASH_BITS:
+        raise ValueError(f"max_hamming must be < {SIMHASH_BITS}")
+    width = SIMHASH_BITS // bands
+    fps = sh.select("simhash").distinct()
+    band_exprs = []
+    for b in range(bands):
+        lo = b * width
+        w = SIMHASH_BITS - lo if b == bands - 1 else width
+        band_exprs.append(
+            f"struct({b} AS band, shiftrightunsigned(simhash, {lo}) "
+            f"& {(1 << w) - 1} AS key)"
+        )
+    return fps.select(
+        "simhash",
+        F.explode(F.expr("array(" + ", ".join(band_exprs) + ")")).alias("bb"),
+    ).select("simhash", F.col("bb.band").alias("band"),
+             F.col("bb.key").alias("key"))
 
 
 def duckdb_simhash_pairs_sql(col: str = "text", max_hamming: int = 3) -> str:

@@ -241,6 +241,173 @@ def lsh_cosine_topk(df: DataFrame, id_col: str = "vec_id",
     )
 
 
+def ivf_centroids(df: DataFrame, id_col: str = "vec_id",
+                  col: str = "embedding", n_centroids: int = 16) -> DataFrame:
+    """Deterministic coarse quantizer for IVF: the ``n_centroids``
+    vectors whose id-hash ranks smallest (a hash-ordered bottom-k sample
+    — distributed like the data, no k-means iterations, no RNG). Returns
+    (cent_id, cent_emb) with cent_id = 0..n-1 in hash order.
+
+    At 10^12 scale this is one TakeOrdered (k rows per partition to the
+    driver) — the cheapest seeding that still tracks the data
+    distribution; callers needing tighter cells can pass more centroids
+    and probe more of them (n_probe)."""
+    from pyspark.sql.window import Window
+
+    # hash the id's string rendering: Spark md5 takes BINARY/STRING only,
+    # and the string form is what DuckDB's twin hashes too
+    h = spark_hash60(f"CAST({id_col} AS STRING)")
+    sample = (
+        df.select(F.expr(h).alias("h"),
+                  F.col(id_col).alias("cid"),
+                  F.col(col).alias("cent_emb"))
+        .orderBy("h", "cid")
+        .limit(n_centroids)
+    )
+    w = Window.orderBy("h", "cid")
+    return sample.select(
+        (F.row_number().over(w) - 1).alias("cent_id"), "cent_emb")
+
+
+def ivf_assign(df: DataFrame, centroids: DataFrame,
+               id_col: str = "vec_id", col: str = "embedding",
+               n_probe: int = 1) -> DataFrame:
+    """(id, cent_id, probe_rank) — each vector's ``n_probe`` nearest
+    centroids by cosine (probe_rank 1 = its home cell). The centroid
+    table is tiny and broadcast; assignment is map-side (no shuffle of
+    the vectors). Ties break on cent_id, so assignment is total and
+    deterministic."""
+    from pyspark.sql.window import Window
+
+    cos = (
+        f"{_dot('emb', 'cent_emb')} / "
+        f"(sqrt({_dot('emb', 'emb')}) * sqrt({_dot('cent_emb', 'cent_emb')}))"
+    )
+    scored = (
+        df.select(F.col(id_col).alias("id"), F.col(col).alias("emb"))
+        .crossJoin(F.broadcast(centroids))
+        .select("id", "cent_id",
+                F.expr(f"round({cos}, 6)").alias("_c"))
+    )
+    w = Window.partitionBy("id").orderBy(
+        F.col("_c").desc(), F.col("cent_id").asc())
+    return (
+        scored.withColumn("probe_rank", F.row_number().over(w))
+        .where(F.col("probe_rank") <= n_probe)
+        .select("id", "cent_id", "probe_rank")
+    )
+
+
+def ivf_topk(df: DataFrame, id_col: str = "vec_id",
+             col: str = "embedding", k: int = 10,
+             n_centroids: int = 16, n_probe: int = 2) -> DataFrame:
+    """IVF approximate top-k: candidates share one of the query's
+    ``n_probe`` nearest cells with the neighbor's HOME cell (probe_rank
+    1). The candidate join is an equality join on cent_id — shuffle
+    bounded by cell population (~n/n_centroids), the inverted-file
+    analog of the LSH bucket join; embeddings re-attach to surviving
+    candidate pairs by id, never riding the cell shuffle. Recall dial:
+    n_probe (and n_centroids for cell size). Same output contract as
+    cosine_topk/lsh_cosine_topk; measure with ann_recall_df."""
+    from pyspark.sql.window import Window
+
+    cents = ivf_centroids(df, id_col, col, n_centroids)
+    probes = ivf_assign(df, cents, id_col, col, n_probe)
+    home = probes.where(F.col("probe_rank") == 1).select(
+        F.col("id").alias("neighbor_id"), "cent_id")
+    cand = (
+        probes.select(F.col("id").alias("query_id"), "cent_id")
+        .join(home, "cent_id")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    base = df.select(F.col(id_col).alias("id"), F.col(col).alias("emb"))
+    cos = (
+        f"{_dot('q_emb', 'c_emb')} / "
+        f"(sqrt({_dot('q_emb', 'q_emb')}) * sqrt({_dot('c_emb', 'c_emb')}))"
+    )
+    scored = (
+        cand
+        .join(base.select(F.col("id").alias("query_id"),
+                          F.col("emb").alias("q_emb")), "query_id")
+        .join(base.select(F.col("id").alias("neighbor_id"),
+                          F.col("emb").alias("c_emb")), "neighbor_id")
+        .select("query_id", "neighbor_id",
+                F.expr(f"round({cos}, 6)").alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+def duckdb_ivf_topk_sql(id_col: str = "vec_id", col: str = "embedding",
+                        k: int = 10, n_centroids: int = 16,
+                        n_probe: int = 2) -> str:
+    """DuckDB twin of ``ivf_topk`` — same deterministic centroids (hash-
+    ordered bottom-k), same tie-broken assignments, same candidate join
+    and ranking; the approximate result is bit-for-bit reproducible."""
+    h = duckdb_hash60("CAST(id AS VARCHAR)")
+    dot_qc = "list_dot_product(v.emb, c.cent_emb)"
+    nv = "sqrt(list_dot_product(v.emb, v.emb))"
+    ncc = "sqrt(list_dot_product(c.cent_emb, c.cent_emb))"
+    dot = "list_dot_product(q.emb, n.emb)"
+    nq = "sqrt(list_dot_product(q.emb, q.emb))"
+    nn = "sqrt(list_dot_product(n.emb, n.emb))"
+    return f"""
+        WITH base AS (
+            SELECT {id_col} AS id, {col}::DOUBLE[] AS emb FROM embeddings
+        ),
+        cents AS (
+            SELECT row_number() OVER (ORDER BY {h}, id) - 1 AS cent_id,
+                   emb AS cent_emb
+            FROM base ORDER BY {h}, id LIMIT {n_centroids}
+        ),
+        assigned AS (
+            SELECT v.id, c.cent_id,
+                   row_number() OVER (
+                       PARTITION BY v.id
+                       ORDER BY round({dot_qc} / ({nv} * {ncc}), 6) DESC,
+                                c.cent_id ASC
+                   ) AS probe_rank
+            FROM base v, cents c
+        ),
+        probes AS (
+            SELECT id, cent_id FROM assigned WHERE probe_rank <= {n_probe}
+        ),
+        home AS (
+            SELECT id AS neighbor_id, cent_id FROM assigned
+            WHERE probe_rank = 1
+        ),
+        cand AS (
+            SELECT DISTINCT p.id AS query_id, h.neighbor_id
+            FROM probes p JOIN home h USING (cent_id)
+            WHERE p.id != h.neighbor_id
+        ),
+        scored AS (
+            SELECT c.query_id, c.neighbor_id,
+                   round({dot} / ({nq} * {nn}), 6) AS cos
+            FROM cand c
+            JOIN base q ON q.id = c.query_id
+            JOIN base n ON n.id = c.neighbor_id
+        ),
+        ranked AS (
+            SELECT query_id, neighbor_id, cos,
+                   row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY cos DESC, neighbor_id ASC
+                   ) AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, cos, rank FROM ranked
+        WHERE rank <= {k}
+    """
+
+
 def ann_recall(exact_topk: DataFrame, approx_topk: DataFrame,
                k: int | None = None) -> dict:
     """Recall metrics of an approximate top-k result against the exact
@@ -349,14 +516,30 @@ def duckdb_lsh_ann_recall_sql(id_col: str = "vec_id",
     recall itself is the oracle-checked quantity."""
     exact = duckdb_cosine_topk_sql(id_col, col, k)
     approx = duckdb_lsh_cosine_topk_sql(id_col, col, k, planes, dim, tables)
+    return _duckdb_recall_sql(exact, approx)
+
+
+def duckdb_ivf_ann_recall_sql(id_col: str = "vec_id",
+                              col: str = "embedding", k: int = 10,
+                              n_centroids: int = 16,
+                              n_probe: int = 2) -> str:
+    """DuckDB twin of ``ann_recall_df(cosine_topk, ivf_topk)`` — the IVF
+    path's recall value as the oracle-checked quantity."""
+    exact = duckdb_cosine_topk_sql(id_col, col, k)
+    approx = duckdb_ivf_topk_sql(id_col, col, k, n_centroids, n_probe)
+    return _duckdb_recall_sql(exact, approx)
+
+
+def _duckdb_recall_sql(exact: str, approx: str) -> str:
     return f"""
         WITH exact_topk AS ({exact}),
-        lsh_topk AS ({approx}),
+        approx_topk AS ({approx}),
         hits AS (
             SELECT e.rank,
                    CASE WHEN a.query_id IS NOT NULL THEN 1 ELSE 0 END AS hit
             FROM exact_topk e
-            LEFT JOIN (SELECT DISTINCT query_id, neighbor_id FROM lsh_topk) a
+            LEFT JOIN (SELECT DISTINCT query_id, neighbor_id
+                       FROM approx_topk) a
             ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
         )
         SELECT round(sum(hit) / count(*), 4) AS recall_at_k,

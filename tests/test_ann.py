@@ -104,3 +104,25 @@ def test_near_dup_params_derived_from_threshold():
             miss = miss_per_table ** tables
             assert miss < 1e-3, (t, n, planes, tables, miss)
             assert tables <= 64
+
+
+def test_ivf_recall_on_clustered_data(clustered_emb):
+    """IVF with enough probes recovers most exact neighbors on planted
+    clusters (the recall dial the operator documents)."""
+    exact = similarity.cosine_topk(clustered_emb, k=5)
+    approx = similarity.ivf_topk(clustered_emb, k=5,
+                                 n_centroids=16, n_probe=4)
+    rec = similarity.ann_recall(exact, approx, k=5)
+    assert rec["recall_at_k"] >= 0.8, rec
+
+
+def test_ivf_assignment_total_and_deterministic(clustered_emb):
+    cents = similarity.ivf_centroids(clustered_emb, n_centroids=8)
+    assert cents.count() == 8
+    a1 = sorted(similarity.ivf_assign(clustered_emb, cents,
+                                      n_probe=2).collect())
+    a2 = sorted(similarity.ivf_assign(clustered_emb, cents,
+                                      n_probe=2).collect())
+    assert a1 == a2  # no RNG anywhere
+    homes = [r for r in a1 if r.probe_rank == 1]
+    assert len(homes) == clustered_emb.count()  # every vector has a home
