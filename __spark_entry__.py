@@ -104,6 +104,90 @@ def _q_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SKETCH_QS = [0.1, 0.25, 0.5, 0.75, 0.9]
 
 
+def _q_media_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode, oracle-checked end-to-end: executors encode a
+    deterministic two-band 24-bit BMP per doc_id (varying width => row
+    stride padding varies), the real decoder extracts dimensions and
+    channel sums, and a 1x1 nearest-neighbor resize exposes the top-left
+    pixel — which catches any bottom-up/flip or stride bug (aggregate
+    features alone are permutation-invariant and would not). DuckDB
+    verifies every column against closed-form integer arithmetic on
+    doc_id: if the decoder mis-parses anything, the gate goes red."""
+    import numpy as np
+    import pandas as pd
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+
+    def _gen(batches):
+        for pdf in batches:
+            ids, payloads = [], []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                w, h = 4 + (i * 7) % 9, 3 + (i * 5) % 6
+                top = (h + 1) // 2
+                c1 = ((i * 37) % 256, (i * 59) % 256, (i * 83) % 256)
+                c2 = ((i * 41) % 256, (i * 61) % 256, (i * 89) % 256)
+                px = np.zeros((h, w, 3), np.uint8)
+                px[:top] = c1
+                px[top:] = c2
+                ids.append(str(i))
+                payloads.append(multimodal.encode_bmp(px))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    bmp = docs.mapInPandas(_gen, "media_id string, payload binary")
+    feats = multimodal.extract_media_features(bmp, "media_id", "payload")
+    # features[0]=w, [1]=h, [2..4]=channel means; channel sums are exact
+    # integers (mean * w * h rounds to the true sum well inside float32
+    # error bounds at these sizes)
+    full = feats.select(
+        "media_id", "kind",
+        F.expr("CAST(features[0] AS INT)").alias("width"),
+        F.expr("CAST(features[1] AS INT)").alias("height"),
+        F.expr("CAST(round(features[2] * features[0] * features[1]) "
+               "AS BIGINT)").alias("sum_r"),
+        F.expr("CAST(round(features[3] * features[0] * features[1]) "
+               "AS BIGINT)").alias("sum_g"),
+        F.expr("CAST(round(features[4] * features[0] * features[1]) "
+               "AS BIGINT)").alias("sum_b"),
+    )
+    tiny = multimodal.extract_media_features(
+        multimodal.resize_images(bmp, "media_id", "payload", 1, 1),
+        "media_id", "payload",
+    ).select(
+        "media_id",
+        F.expr("CAST(round(features[2]) AS INT)").alias("top_left_r"),
+        F.expr("CAST(round(features[3]) AS INT)").alias("top_left_g"),
+        F.expr("CAST(round(features[4]) AS INT)").alias("top_left_b"),
+    )
+    return full.join(tiny, "media_id")
+
+
+DUCKDB_MEDIA_IMAGE_DECODE_SQL = """
+    WITH geo AS (
+        SELECT CAST(doc_id AS VARCHAR) AS media_id,
+               4 + (doc_id * 7) % 9 AS w,
+               3 + (doc_id * 5) % 6 AS h,
+               (doc_id * 37) % 256 AS r1, (doc_id * 59) % 256 AS g1,
+               (doc_id * 83) % 256 AS b1,
+               (doc_id * 41) % 256 AS r2, (doc_id * 61) % 256 AS g2,
+               (doc_id * 89) % 256 AS b2
+        FROM documents
+    ),
+    bands AS (
+        SELECT *, (h + 1) // 2 AS top FROM geo
+    )
+    SELECT media_id, 'bmp' AS kind,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(w * (top * r1 + (h - top) * r2) AS BIGINT) AS sum_r,
+           CAST(w * (top * g1 + (h - top) * g2) AS BIGINT) AS sum_g,
+           CAST(w * (top * b1 + (h - top) * b2) AS BIGINT) AS sum_b,
+           CAST(r1 AS INT) AS top_left_r,
+           CAST(g1 AS INT) AS top_left_g,
+           CAST(b1 AS INT) AS top_left_b
+    FROM bands
+"""
+
+
 def _q_hll_url(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL distinct-url count with the exact count and the published
     3-sigma bound check alongside: the ESTIMATE itself is the
@@ -250,6 +334,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": lambda s, d: multimodal.extract_media_features(
             synthesize(s, d), "url", "html"
         ).select("media_id", "n_bytes", "kind"),
+        # REAL image decode (pure-stdlib BMP decoder + nearest-neighbor
+        # resize), verified against closed-form arithmetic
+        "media_image_decode": _q_media_image_decode,
         "cosine_pairs": lambda s, d: similarity.cosine_pairs(
             _emb(s, d), threshold=0.2
         ),
@@ -391,6 +478,7 @@ def oracle_sql() -> dict[str, str]:
             k=5, planes=6, tables=4),
         "lsh_ann_recall": similarity.duckdb_lsh_ann_recall_sql(
             k=5, planes=6, tables=4),
+        "media_image_decode": DUCKDB_MEDIA_IMAGE_DECODE_SQL,
         "ivf_topk": similarity.duckdb_ivf_topk_sql(
             k=5, n_centroids=16, n_probe=2),
         "ivf_ann_recall": similarity.duckdb_ivf_ann_recall_sql(

@@ -2,12 +2,23 @@
 
 Training-data pipelines carry images/audio/video as opaque ``binary``
 columns with typed metadata and run decode / feature-extract / resize /
-frame-sample as Arrow-batched Pandas functions over ``mapInPandas``. This
-container has no media libraries, so the *decode* step is stubbed: real
-decoders raise NotImplementedError behind an import guard, and a
-deterministic fake featurizer (byte histogram + moments) stands in so the
-Spark-side plumbing — schema, batch shape, partitioning, UDF signature —
-is real and tested end-to-end.
+frame-sample as Arrow-batched Pandas functions over ``mapInPandas``.
+
+Decode coverage is split by what this container can honestly do:
+
+* **Real decoders, pure stdlib + numpy** — uncompressed 24-bit BMP
+  images (``decode_bmp``/``encode_bmp``, struct-level header parse with
+  row-stride/bottom-up handling, nearest-neighbor ``resize_image``) and
+  PCM WAV audio (``decode_wav`` via the stdlib ``wave`` module: RMS,
+  zero-crossing rate, peak, duration). Payloads are format-sniffed by
+  magic bytes and decoded for real; the decode is oracle-checked
+  end-to-end (the ``media_image_decode`` entry query generates BMP bytes
+  in-executor, decodes them, and DuckDB verifies the extracted
+  dimensions/colors against closed-form expectations).
+* **Stubbed codecs** — JPEG/PNG/MP4 etc. need external libraries absent
+  from this container; those payloads fall through to a deterministic
+  byte-level featurizer (histogram + moments), and ``_try_real_decoder``
+  is the documented plug-point for wiring real ones in.
 
 Scale notes: media bytes never pass through a shuffle (features are
 extracted in the scan stage's partitions via ``mapInPandas``); only the
@@ -17,6 +28,9 @@ per-task memory for wide binary scans.
 
 from __future__ import annotations
 
+import io
+import struct
+import wave
 from typing import Iterator
 
 import numpy as np
@@ -56,6 +70,141 @@ def _try_real_decoder(kind: str):
     return None
 
 
+# ---------------------------------------------------------------------------
+# real decoders (pure stdlib + numpy): BMP images, PCM WAV audio
+# ---------------------------------------------------------------------------
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as an uncompressed 24-bit BMP
+    (BITMAPINFOHEADER, bottom-up rows, BGR byte order, 4-byte row
+    stride) — the standard file layout, byte-for-byte readable by any
+    image viewer."""
+    h, w, c = pixels.shape
+    if c != 3:
+        raise ValueError("encode_bmp expects (h, w, 3) RGB")
+    stride = (w * 3 + 3) & ~3
+    img_size = stride * h
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + img_size, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size,
+                       2835, 2835, 0, 0)
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = pixels[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up, BGR
+    return header + info + rows.tobytes()
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Decode an uncompressed 24-bit BMP to an (h, w, 3) uint8 RGB array.
+    Handles the 4-byte row stride and both bottom-up (positive height)
+    and top-down (negative height) layouts. Raises ValueError on
+    non-BMP / unsupported variants (compressed, non-24bpp)."""
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (data_off,) = struct.unpack_from("<I", payload, 10)
+    hdr_size, w, h_signed = struct.unpack_from("<Iii", payload, 14)
+    planes, bpp, compression = struct.unpack_from("<HHI", payload, 26)
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP: bpp={bpp} compression={compression}")
+    h = abs(h_signed)
+    stride = (w * 3 + 3) & ~3
+    need = data_off + stride * h
+    if len(payload) < need:
+        raise ValueError("truncated BMP payload")
+    rows = np.frombuffer(payload, dtype=np.uint8,
+                         count=stride * h, offset=data_off).reshape(h, stride)
+    img = rows[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR -> RGB
+    if h_signed > 0:
+        img = img[::-1]  # bottom-up -> top-down
+    return np.ascontiguousarray(img)
+
+
+def resize_image(pixels: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resize of an (h, w, 3) array — the deterministic
+    resize primitive for image pipelines (no interpolation libraries)."""
+    h, w = pixels.shape[:2]
+    yi = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+    xi = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+    return pixels[yi][:, xi]
+
+
+def image_features(payload: bytes) -> np.ndarray:
+    """Real image features from a decoded BMP: (width, height, mean R,
+    mean G, mean B, std luma, then a 10-bucket luma histogram). Raises
+    on non-BMP input (callers sniff first)."""
+    img = decode_bmp(payload).astype(np.float64)
+    luma = img @ np.array([0.299, 0.587, 0.114])
+    hist = np.histogram(luma, bins=10, range=(0.0, 256.0))[0]
+    hist = hist / luma.size
+    out = np.array(
+        [img.shape[1], img.shape[0],
+         img[:, :, 0].mean(), img[:, :, 1].mean(), img[:, :, 2].mean(),
+         luma.std()]
+        + hist.tolist())
+    return out.astype(np.float32)
+
+
+def encode_wav(samples: np.ndarray, framerate: int = 16000) -> bytes:
+    """Encode int16 mono samples as a PCM WAV (stdlib ``wave``)."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(framerate)
+        wf.writeframes(samples.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """Decode a PCM WAV payload to (mono float64 samples in [-1, 1],
+    framerate). Multi-channel audio is averaged to mono. 16-bit and
+    8-bit sample widths supported (the PCM widths ``wave`` handles
+    without codecs)."""
+    with wave.open(io.BytesIO(payload), "rb") as wf:
+        n = wf.getnframes()
+        raw = wf.readframes(n)
+        ch, width, rate = wf.getnchannels(), wf.getsampwidth(), wf.getframerate()
+    if width == 2:
+        arr = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif width == 1:
+        arr = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    else:
+        raise ValueError(f"unsupported WAV sample width {width}")
+    if ch > 1:
+        arr = arr.reshape(-1, ch).mean(axis=1)
+    return arr, rate
+
+
+def audio_features(payload: bytes) -> np.ndarray:
+    """Real audio features from a decoded WAV: (duration s, framerate
+    kHz, RMS, peak, zero-crossing rate, mean, then a 10-bucket absolute-
+    amplitude histogram)."""
+    samples, rate = decode_wav(payload)
+    if samples.size == 0:
+        return np.zeros(FEATURE_DIM, dtype=np.float32)
+    zcr = float(np.mean(np.signbit(samples[1:]) != np.signbit(samples[:-1])))
+    hist = np.histogram(np.abs(samples), bins=10, range=(0.0, 1.0))[0]
+    hist = hist / samples.size
+    out = np.array(
+        [samples.size / rate, rate / 1000.0,
+         float(np.sqrt(np.mean(samples ** 2))),
+         float(np.max(np.abs(samples))), zcr, float(samples.mean())]
+        + hist.tolist())
+    return out.astype(np.float32)
+
+
+def sniff_kind(payload: bytes) -> str | None:
+    """Magic-byte format sniff: 'bmp' | 'wav' | None (unknown codec)."""
+    if len(payload) >= 2 and payload[:2] == b"BM":
+        return "bmp"
+    if (len(payload) >= 12 and payload[:4] == b"RIFF"
+            and payload[8:12] == b"WAVE"):
+        return "wav"
+    return None
+
+
+#: sniffed-format -> real featurizer (both pure stdlib + numpy)
+REAL_FEATURIZERS = {"bmp": image_features, "wav": audio_features}
+
+
 def fake_features(payload: bytes) -> np.ndarray:
     """Deterministic stand-in featurizer: 12-bucket byte histogram
     (normalized) + length, mean, std, entropy-ish moment. Pure function
@@ -82,6 +231,13 @@ def extract_media_features(
 ) -> DataFrame:
     """(media_id, n_bytes, kind, features) for every media row.
 
+    Per payload, the decode path is chosen by magic-byte sniffing:
+    BMP / PCM-WAV payloads are DECODED FOR REAL (pure stdlib + numpy;
+    see the module docstring) and the output ``kind`` reports the
+    sniffed format; unknown codecs fall back to an externally-wired
+    decoder (``_try_real_decoder``) or the deterministic byte-level
+    featurizer, reporting the caller's declared ``kind``.
+
     Runs in the scan partitions (mapInPandas): media bytes are consumed
     where they are read and only FEATURE_DIM floats leave the stage."""
     src = df.select(
@@ -97,20 +253,65 @@ def extract_media_features(
                 payloads = [
                     bytes(p) if p is not None else b"" for p in chunk["payload"]
                 ]
-                if decoder is not None:  # pragma: no cover
-                    feats = [decoder(p) for p in payloads]
-                else:
-                    feats = [fake_features(p) for p in payloads]
+                feats, kinds = [], []
+                for p in payloads:
+                    sniffed = sniff_kind(p)
+                    if sniffed is not None:
+                        feats.append(REAL_FEATURIZERS[sniffed](p))
+                        kinds.append(sniffed)
+                    elif decoder is not None:  # pragma: no cover
+                        feats.append(decoder(p))
+                        kinds.append(kind)
+                    else:
+                        feats.append(fake_features(p))
+                        kinds.append(kind)
                 yield pd.DataFrame(
                     {
                         "media_id": chunk["media_id"].to_numpy(),
                         "n_bytes": [len(p) for p in payloads],
-                        "kind": kind,
+                        "kind": kinds,
                         "features": [f.tolist() for f in feats],
                     }
                 )
 
     return src.mapInPandas(_extract, schema=MEDIA_FEATURE_SCHEMA)
+
+
+def resize_images(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    out_h: int = 32,
+    out_w: int = 32,
+) -> DataFrame:
+    """Real image resize over a binary column: decode BMP payloads,
+    nearest-neighbor resize to (out_h, out_w), re-encode as BMP. Non-BMP
+    payloads pass through with resized=false (the honest contract for
+    codecs this container can't decode). Runs in the scan partitions;
+    output bytes are bounded by out_h*out_w*3 per row."""
+    src = df.select(
+        F.col(id_col).cast("string").alias("media_id"),
+        F.col(payload_col).alias("payload"),
+    )
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, outs, ok = [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                p = bytes(p) if p is not None else b""
+                ids.append(mid)
+                if sniff_kind(p) == "bmp":
+                    outs.append(encode_bmp(
+                        resize_image(decode_bmp(p), out_h, out_w)))
+                    ok.append(True)
+                else:
+                    outs.append(p)
+                    ok.append(False)
+            yield pd.DataFrame(
+                {"media_id": ids, "payload": outs, "resized": ok})
+
+    return src.mapInPandas(
+        _resize, schema="media_id string, payload binary, resized boolean")
 
 
 def sample_frames(

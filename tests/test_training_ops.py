@@ -322,3 +322,71 @@ def test_ngram_jaccard_duplicate_pairs_not_inflated(spark):
     rows = ngram_jaccard(df, pairs).collect()
     assert len(rows) == 1
     assert rows[0].jaccard == 1.0  # identical docs; would be 2.0 inflated
+
+
+def test_bmp_roundtrip_and_resize():
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    for w, h in [(4, 3), (5, 7), (13, 2), (1, 1)]:  # odd widths: stride pad
+        px = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+        back = multimodal.decode_bmp(multimodal.encode_bmp(px))
+        assert (back == px).all(), (w, h)
+    px = np.zeros((4, 4, 3), np.uint8)
+    px[0, 0] = (200, 100, 50)
+    tiny = multimodal.resize_image(px, 1, 1)
+    assert tuple(tiny[0, 0]) == (200, 100, 50)  # nearest = top-left
+    with pytest.raises(ValueError):
+        multimodal.decode_bmp(b"<html>not an image</html>")
+
+
+def test_wav_real_features():
+    import numpy as np
+
+    rate, freq, amp = 16000, 440.0, 0.5
+    t = np.arange(rate) / rate  # 1 second
+    samples = (amp * np.sin(2 * np.pi * freq * t) * 32767).astype(np.int16)
+    payload = multimodal.encode_wav(samples, rate)
+    assert multimodal.sniff_kind(payload) == "wav"
+    f = multimodal.audio_features(payload)
+    assert abs(f[0] - 1.0) < 1e-3                   # duration
+    assert abs(f[1] - 16.0) < 1e-6                  # framerate kHz
+    assert abs(f[2] - amp / np.sqrt(2)) < 0.01      # sine RMS
+    assert abs(f[4] - 2 * freq / rate) < 0.005      # zero-crossing rate
+
+
+def test_media_features_sniffs_real_formats(spark):
+    import numpy as np
+
+    px = np.full((3, 4, 3), (10, 20, 30), np.uint8)
+    bmp = multimodal.encode_bmp(px)
+    wav = multimodal.encode_wav(
+        (np.ones(100) * 1000).astype(np.int16), 8000)
+    df = spark.createDataFrame(
+        [("img", bmp), ("aud", wav), ("doc", b"<html>plain</html>")],
+        "media_id string, payload binary")
+    rows = {r.media_id: r for r in multimodal.extract_media_features(
+        df, "media_id", "payload", kind="unknown").collect()}
+    assert rows["img"].kind == "bmp"
+    assert rows["img"].features[0] == 4 and rows["img"].features[1] == 3
+    assert abs(rows["img"].features[2] - 10) < 1e-4  # mean R exact (solid)
+    assert rows["aud"].kind == "wav"
+    assert rows["doc"].kind == "unknown"  # fell back to byte featurizer
+
+
+def test_resize_images_spark(spark):
+    import numpy as np
+
+    px = np.zeros((8, 8, 3), np.uint8)
+    px[:4] = (255, 0, 0)   # top half red
+    px[4:] = (0, 0, 255)   # bottom half blue
+    df = spark.createDataFrame(
+        [("a", multimodal.encode_bmp(px)), ("b", b"not-bmp")],
+        "media_id string, payload binary")
+    out = {r.media_id: r for r in multimodal.resize_images(
+        df, "media_id", "payload", 2, 2).collect()}
+    assert out["a"].resized and not out["b"].resized
+    small = multimodal.decode_bmp(bytes(out["a"].payload))
+    assert small.shape == (2, 2, 3)
+    assert tuple(small[0, 0]) == (255, 0, 0)   # top row stayed on top
+    assert tuple(small[1, 0]) == (0, 0, 255)
