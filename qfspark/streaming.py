@@ -135,6 +135,101 @@ def load_stream_state(spark, state_path: str):
     return load_sharded_qf(spark.read.parquet(os.path.join(state_path, "shards")))
 
 
+def stream_sketch(
+    stream_df: DataFrame,
+    col: str,
+    state_path: str,
+    kind: str = "hll",
+    trigger: dict | None = None,
+    **params,
+):
+    """Maintain a mergeable sketch table (sketches.py) from a streaming
+    key source — the incremental form of the same distributive aggregate
+    the CQF stream uses, for the rest of the sketch family:
+
+    * ``kind='hll'`` (params: p) — running distinct-count registers
+    * ``kind='countmin'`` (params: depth, width) — running frequencies
+    * ``kind='bloom'`` (params: m_bits, k) — running membership bits
+
+    Per micro-batch: build the batch's partial sketch, merge it into the
+    checkpointed table (max/sum/union — each merge == rebuild exactly,
+    so after N batches the state is ROW-IDENTICAL to a batch build over
+    the union of the batches; tested), commit by atomic directory rename
+    with recorded batch ids for idempotent re-delivery. State lives in
+    the table, not executor memory; stop/resume is a re-read.
+
+    Returns the StreamingQuery; read the state with
+    ``load_stream_sketch`` and feed it to ``sketches.hll_estimate`` /
+    ``countmin_query`` / ``bloom_contains``."""
+    from . import sketches
+
+    builders = {
+        "hll": (
+            lambda df: sketches.hll_registers(df, col, params.get("p", 12)),
+            sketches.hll_merge,
+        ),
+        "countmin": (
+            lambda df: sketches.countmin_table(
+                df, col, params.get("depth", 4), params.get("width", 1024)),
+            sketches.countmin_merge,
+        ),
+        "bloom": (
+            lambda df: sketches.bloom_bits(
+                df, col, params.get("m_bits", 1 << 16), params.get("k", 4)),
+            sketches.bloom_merge,
+        ),
+    }
+    if kind not in builders:
+        raise ValueError(f"unknown sketch kind {kind!r}; "
+                         f"expected one of {sorted(builders)}")
+    build_fn, merge_fn = builders[kind]
+    spark = stream_df.sparkSession
+    table_path = os.path.join(state_path, "sketch")
+    _IDS = "_batch_ids.json"
+
+    def _seen_ids() -> set:
+        p = os.path.join(table_path, _IDS)
+        if os.path.exists(p):
+            with open(p) as f:
+                return set(json.load(f))
+        return set()
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        import shutil
+
+        seen = _seen_ids()
+        if batch_id in seen:
+            return  # re-delivered micro-batch: already merged
+        partial = build_fn(batch_df)
+        next_path = os.path.join(state_path, "sketch_next")
+        shutil.rmtree(next_path, ignore_errors=True)
+        if os.path.exists(table_path):
+            merged = merge_fn(spark.read.parquet(table_path), partial)
+        else:
+            merged = partial
+        merged.write.mode("overwrite").parquet(next_path)
+        with open(os.path.join(next_path, _IDS), "w") as f:
+            json.dump(sorted(seen | {batch_id}), f)
+        old = os.path.join(state_path, "sketch_old")
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.exists(table_path):
+            os.rename(table_path, old)
+        os.rename(next_path, table_path)
+        shutil.rmtree(old, ignore_errors=True)
+
+    writer = stream_df.writeStream.foreachBatch(_process).outputMode("update")
+    writer = writer.option(
+        "checkpointLocation", os.path.join(state_path, "_spark_checkpoint"))
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()
+
+
+def load_stream_sketch(spark, state_path: str) -> DataFrame:
+    """Read the current streaming sketch table."""
+    return spark.read.parquet(os.path.join(state_path, "sketch"))
+
+
 def stateful_streaming_dedup(
     stream_df: DataFrame,
     key_col: str,

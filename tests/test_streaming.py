@@ -239,3 +239,45 @@ def test_stateful_dedup_counter_parity_across_branches(spark):
         assert got == sorted(base + ["fresh1", "fresh2"])
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@pytest.mark.parametrize("kind,params", [
+    ("hll", {"p": 10}),
+    ("countmin", {"depth": 3, "width": 256}),
+    ("bloom", {"m_bits": 1 << 14, "k": 3}),
+])
+def test_stream_sketch_matches_batch(spark, kind, params):
+    """After N micro-batches the streaming sketch table is ROW-IDENTICAL
+    to a batch build over the union — merge == rebuild, incrementally."""
+    from qfspark import sketches
+    from qfspark.streaming import load_stream_sketch, stream_sketch
+
+    tmp = tempfile.mkdtemp(prefix=f"qfsk_{kind}_")
+    src = f"{tmp}/src"
+    state = f"{tmp}/state"
+    try:
+        ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+            F.col("user_id").cast("string").alias("user"))
+        import os
+
+        os.makedirs(src, exist_ok=True)
+        ev.where("CAST(user AS BIGINT) % 2 = 0").toPandas().to_parquet(
+            f"{src}/b0.parquet")
+        ev.where("CAST(user AS BIGINT) % 2 = 1").toPandas().to_parquet(
+            f"{src}/b1.parquet")
+        stream = (spark.readStream.schema("user string")
+                  .option("maxFilesPerTrigger", "1").parquet(src))
+        q = stream_sketch(stream, "user", state, kind=kind,
+                          trigger={"availableNow": True}, **params)
+        q.awaitTermination(240)
+
+        got = sorted(map(tuple, load_stream_sketch(spark, state).collect()))
+        if kind == "hll":
+            want = sketches.hll_registers(ev, "user", **params)
+        elif kind == "countmin":
+            want = sketches.countmin_table(ev, "user", **params)
+        else:
+            want = sketches.bloom_bits(ev, "user", **params)
+        assert got == sorted(map(tuple, want.collect()))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
