@@ -279,6 +279,27 @@ def _q_quantile_bounds(kind: str):
     return run
 
 
+def _q_hll_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL set algebra over two overlapping crawl subsets (urls whose
+    doc id misses a 3-cycle vs hits a 2-cycle): per-set cardinalities,
+    register-merged union, and inclusion-exclusion intersection — all
+    four estimates deterministic, so each VALUE is oracle-checked."""
+    wp = synthesize(spark, sf_dir)
+    did = F.expr(
+        "CAST(regexp_extract(url, '([0-9]+)$', 1) AS BIGINT)")
+    return sketches.hll_set_ops(
+        wp.where(did % 3 != 0), wp.where(did % 2 == 0), "url", p=10)
+
+
+def _q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries frequent users over the events stream: every true
+    heavy hitter (count > n/(k+1)) must be present with its undercount
+    guarantee intact; the oracle recomputes the heavy set exactly and
+    expects constant TRUE (sketches.mg_bound_check)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sketches.mg_bound_check(ev, "user_id", k=128)
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
@@ -375,6 +396,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bottomk_quantiles": _q_bottomk_quantiles,
         "tdigest_quantile_bounds": _q_quantile_bounds("tdigest"),
         "kll_quantile_bounds": _q_quantile_bounds("kll"),
+        "hll_url_set_ops": _q_hll_set_ops,
+        "heavy_hitters": _q_heavy_hitters,
     }
 
 
@@ -552,4 +575,15 @@ def oracle_sql() -> dict[str, str]:
             sketches.duckdb_quantile_bound_sql(_SKETCH_QS),
         "kll_quantile_bounds":
             sketches.duckdb_quantile_bound_sql(_SKETCH_QS),
+        "hll_url_set_ops": f"""
+            WITH wp AS ({wp})
+            {sketches.duckdb_hll_set_ops_sql(
+                "url", 10,
+                "(SELECT url FROM wp WHERE CAST(regexp_extract(url, "
+                "'([0-9]+)$', 1) AS BIGINT) % 3 != 0)",
+                "(SELECT url FROM wp WHERE CAST(regexp_extract(url, "
+                "'([0-9]+)$', 1) AS BIGINT) % 2 = 0)")}
+        """,
+        "heavy_hitters":
+            sketches.duckdb_mg_heavy_sql("user_id", 128, "events"),
     }

@@ -11,6 +11,11 @@ UDAF shape that makes 10^12-row builds shuffle-light:
 * Bloom filter       — membership (bit-position table, union-merge)
 * bottom-k           — uniform hash-sample for quantiles/sampling
                        (min-k-merge; the SQL-expressible quantile sketch)
+* Misra-Gries        — frequent items / heavy hitters (counter
+                       sum-merge + prune; guarantee-gated like the
+                       quantile sketches)
+* HLL set algebra    — union via register merge, intersection via
+                       inclusion-exclusion (deterministic estimates)
 * t-digest           — streaming quantiles (centroid merge, Python
                        kernel over mapInPandas partials)
 * KLL                — compactor-based quantiles (level merge, Python
@@ -173,6 +178,55 @@ def hll_estimate(register_df: DataFrame, p: int) -> DataFrame:
 def hll_cardinality(df: DataFrame, col: str, p: int = 12) -> DataFrame:
     """Registers + estimate composed: the one-call distinct-count path."""
     return hll_estimate(hll_registers(df, col, p), p)
+
+
+def hll_set_ops(a_df: DataFrame, b_df: DataFrame, col: str,
+                p: int = 12) -> DataFrame:
+    """One row (est_a, est_b, est_union, est_intersection): distinct
+    counts of two key sets, their union (register max-merge — HLL's
+    native set operation), and their intersection by inclusion-exclusion
+    over the three estimates. All four values are deterministic
+    functions of the inputs (exact-integer harmonic sums, one rounded
+    double each), so the DuckDB twin reproduces them bit-for-bit.
+
+    Accuracy note: union inherits HLL's ~1.04/sqrt(m) relative error;
+    the inclusion-exclusion intersection's ABSOLUTE error scales with
+    the union size, so small intersections of large sets are noisy —
+    the standard HLL limitation, stated rather than hidden."""
+    ra = hll_registers(a_df, col, p)
+    rb = hll_registers(b_df, col, p)
+    ea = hll_estimate(ra, p).select(F.col("estimate").alias("est_a"))
+    eb = hll_estimate(rb, p).select(F.col("estimate").alias("est_b"))
+    eu = hll_estimate(hll_merge(ra, rb), p).select(
+        F.col("estimate").alias("est_union"))
+    return (
+        ea.crossJoin(eb).crossJoin(eu)  # three one-row frames
+        .select(
+            "est_a", "est_b", "est_union",
+            F.round(
+                F.col("est_a") + F.col("est_b") - F.col("est_union"), 1
+            ).alias("est_intersection"),
+        )
+    )
+
+
+def duckdb_hll_set_ops_sql(col: str, p: int, source_a: str,
+                           source_b: str) -> str:
+    """Oracle twin of ``hll_set_ops``. ``source_a``/``source_b`` are
+    table names or parenthesized subqueries; the union side rebuilds
+    registers over the concatenated input, which equals the register
+    merge exactly (merge == rebuild)."""
+    union_src = (f"(SELECT {col} FROM {source_a} "
+                 f"UNION ALL SELECT {col} FROM {source_b})")
+    return f"""
+        SELECT a.estimate AS est_a, b.estimate AS est_b,
+               u.estimate AS est_union,
+               round(a.estimate + b.estimate - u.estimate, 1)
+                   AS est_intersection
+        FROM ({duckdb_hll_sql(col, p, source_a)}) a,
+             ({duckdb_hll_sql(col, p, source_b)}) b,
+             ({duckdb_hll_sql(col, p, union_src)}) u
+    """
 
 
 def hll_error_bound(p: int, sigmas: float = 3.0) -> float:
@@ -793,6 +847,173 @@ def duckdb_quantile_bound_sql(qs: list[float]) -> str:
     """The oracle twin of ``quantile_bound_check``: TRUE per q."""
     qlit = ", ".join(f"CAST({float(q)!r} AS DOUBLE)" for q in qs)
     return f"SELECT q, TRUE AS ok FROM unnest([{qlit}]) AS t(q)"
+
+
+# ===========================================================================
+# Misra-Gries frequent items (heavy hitters)
+# ===========================================================================
+#
+# Summary representation: a DataFrame with schema
+#   (item string, est long, err long)
+# holding at most k data rows (item NOT NULL, err = 0) plus exactly one
+# sentinel row (item NULL, est = 0) whose ``err`` is the summary's total
+# error budget. Guarantee for every key x with true count c(x):
+#   est(x) <= c(x) <= est(x) + err        (est(x) = 0 if x absent)
+# and err <= n/(k+1) for n total rows — the classic Misra-Gries bound,
+# which survives merging because every prune that subtracts t from the
+# counters removes >= (k+1)*t of counter mass, and only n mass ever
+# enters (Agarwal et al. 2012, "Mergeable Summaries").
+#
+# Scale shape: the only data-sized pass is one mapInPandas emitting
+# <= k+1 rows per partition (pandas value_counts — vectorized, no
+# per-row Python); everything after operates on <= k*partitions + 1
+# rows, and the final threshold select is an order-limit (TakeOrdered),
+# never a full sort. Unlike the other SQL-expressible sketches the
+# result is NOT a pure function of the input multiset (it depends on the
+# partitioning, like any Misra-Gries run depends on arrival order), so
+# its correctness gate is the guarantee itself: ``mg_bound_check`` emits
+# per-heavy-item ok booleans whose oracle is constant TRUE (the
+# t-digest/KLL/ANN-recall pattern).
+
+
+def _mg_finalize(unioned: DataFrame, k: int) -> DataFrame:
+    """Sum per-item estimates, prune to the k largest by subtracting the
+    (k+1)-th largest count, and fold that subtraction into the sentinel
+    row's error budget. ``unioned`` rows follow the summary schema."""
+    summed = (
+        unioned.where(F.col("item").isNotNull())
+        .groupBy("item").agg(F.sum("est").cast("long").alias("est"))
+    )
+    base_err = unioned.agg(
+        F.coalesce(F.sum("err"), F.lit(0)).cast("long").alias("_e"))
+    # (k+1)-th largest summed estimate (0 when <= k distinct items):
+    # order-limit over the tiny summed table, not a global sort
+    t_val = (
+        summed.orderBy(F.desc("est"), "item").offset(k).limit(1)
+        .agg(F.coalesce(F.max("est"), F.lit(0)).cast("long").alias("_t"))
+    )
+    kept = (
+        summed.crossJoin(t_val)  # one-row broadcast
+        .where(F.col("est") > F.col("_t"))
+        .select(
+            "item",
+            (F.col("est") - F.col("_t")).cast("long").alias("est"),
+            F.lit(0).cast("long").alias("err"),
+        )
+    )
+    sentinel = base_err.crossJoin(t_val).select(
+        F.lit(None).cast("string").alias("item"),
+        F.lit(0).cast("long").alias("est"),
+        (F.col("_e") + F.col("_t")).cast("long").alias("err"),
+    )
+    return kept.unionByName(sentinel)
+
+
+def mg_summary(df: DataFrame, col: str, k: int = 256) -> DataFrame:
+    """Misra-Gries frequent-items summary of ``col`` with k counters.
+
+    Every key whose true count exceeds n/(k+1) is guaranteed present;
+    estimates under-count by at most the summary's ``err`` (sentinel
+    row), itself <= n/(k+1)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+
+    import pandas as pd
+
+    def _partial(batches):
+        counts = None
+        for b in batches:
+            vc = b["item"].dropna().value_counts()
+            counts = vc if counts is None else counts.add(vc, fill_value=0)
+        if counts is None or counts.empty:
+            return
+        counts = counts.astype("int64")
+        t = 0
+        if len(counts) > k:
+            t = int(counts.sort_values(ascending=False).iloc[k])
+            counts = counts - t
+            counts = counts[counts > 0]
+        out = pd.DataFrame({
+            "item": counts.index.astype(str),
+            "est": counts.to_numpy(),
+        })
+        out["err"] = 0
+        yield pd.concat([
+            out,
+            pd.DataFrame({"item": [None], "est": [0], "err": [t]}),
+        ])
+
+    partials = (
+        df.where(F.col(col).isNotNull())
+        .select(F.col(col).cast("string").alias("item"))
+        .mapInPandas(_partial, "item string, est long, err long")
+    )
+    return _mg_finalize(partials, k)
+
+
+def mg_merge(a: DataFrame, b: DataFrame, k: int = 256) -> DataFrame:
+    """Merge two summaries built with the same k: sum common counters,
+    prune back to k. Error budgets add (then gain the prune's
+    subtraction), and the combined summary still satisfies
+    err <= (n_a + n_b)/(k+1)."""
+    return _mg_finalize(a.unionByName(b), k)
+
+
+def mg_estimates(summary: DataFrame) -> DataFrame:
+    """The (item, est) data rows of a summary (sentinel dropped)."""
+    return summary.where(F.col("item").isNotNull()).select("item", "est")
+
+
+def mg_error(summary: DataFrame) -> DataFrame:
+    """One row (err): the summary's total undercount budget."""
+    return summary.agg(F.coalesce(F.sum("err"), F.lit(0))
+                       .cast("long").alias("err"))
+
+
+def mg_bound_check(df: DataFrame, col: str, k: int = 256) -> DataFrame:
+    """(item, ok) per TRUE heavy hitter (true count * (k+1) > n): is the
+    item present in the summary with its guarantee intact —
+    est <= true <= est + err, and err within the published n/(k+1)
+    bound? The DuckDB oracle (``duckdb_mg_heavy_sql``) recomputes the
+    heavy set exactly and emits constant TRUE, so any guarantee
+    violation turns the gate red."""
+    sk = mg_summary(df, col, k)
+    exact = (
+        df.where(F.col(col).isNotNull())
+        .select(F.col(col).cast("string").alias("item"))
+        .groupBy("item").agg(F.count(F.lit(1)).alias("true_cnt"))
+    )
+    n_df = exact.agg(F.sum("true_cnt").cast("long").alias("_n"))
+    heavy = (
+        exact.crossJoin(n_df)
+        .where(F.col("true_cnt") * (k + 1) > F.col("_n"))
+    )
+    return (
+        heavy.join(F.broadcast(mg_estimates(sk)), "item", "left")
+        .crossJoin(mg_error(sk))
+        .select(
+            "item",
+            (
+                F.col("est").isNotNull()
+                & (F.col("est") <= F.col("true_cnt"))
+                & (F.col("true_cnt") <= F.col("est") + F.col("err"))
+                & (F.col("err") * (k + 1) <= F.col("_n"))
+            ).alias("ok"),
+        )
+    )
+
+
+def duckdb_mg_heavy_sql(col: str, k: int, source: str) -> str:
+    """Oracle twin of ``mg_bound_check``: the exact heavy set with
+    constant TRUE."""
+    return f"""
+        WITH e AS (
+            SELECT CAST({col} AS VARCHAR) AS item, COUNT(*) AS c
+            FROM {source} WHERE {col} IS NOT NULL GROUP BY 1
+        ),
+        n AS (SELECT SUM(c) AS n FROM e)
+        SELECT item, TRUE AS ok FROM e, n WHERE c * {k + 1} > n
+    """
 
 
 # ===========================================================================

@@ -150,6 +150,8 @@ def stream_sketch(
     * ``kind='hll'`` (params: p) — running distinct-count registers
     * ``kind='countmin'`` (params: depth, width) — running frequencies
     * ``kind='bloom'`` (params: m_bits, k) — running membership bits
+    * ``kind='bottomk'`` (params: value_col, k) — running uniform
+      key-sample (quantiles/sampling over the stream so far)
 
     Per micro-batch: build the batch's partial sketch, merge it into the
     checkpointed table (max/sum/union — each merge == rebuild exactly,
@@ -177,6 +179,13 @@ def stream_sketch(
             lambda df: sketches.bloom_bits(
                 df, col, params.get("m_bits", 1 << 16), params.get("k", 4)),
             sketches.bloom_merge,
+        ),
+        "bottomk": (
+            lambda df: sketches.bottomk_sketch(
+                df, col, params.get("value_col", col),
+                params.get("k", 512)),
+            lambda a, b: sketches.bottomk_merge(
+                a, b, params.get("k", 512)),
         ),
     }
     if kind not in builders:

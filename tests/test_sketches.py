@@ -301,3 +301,115 @@ def test_sketch_checkpoint_roundtrip(spark, tmp_path):
     assert sorted(back.collect()) == sorted(regs.collect())
     est = sketches.hll_estimate(back, 10).collect()[0]
     assert abs(est.estimate - 2000) / 2000 <= hll_error_bound(10, 4.0)
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries frequent items
+# ---------------------------------------------------------------------------
+
+def _zipfish(spark, n_keys=200, scale=2000, parts=8):
+    """key i appears scale // (i+1) times — known skewed multiset."""
+    return (
+        spark.range(n_keys)
+        .selectExpr(f"id", f"sequence(1, CAST({scale} / (id + 1) AS INT)) AS reps")
+        .selectExpr("concat('k', id) AS key", "explode(reps)")
+        .select("key")
+        .repartition(parts)
+    )
+
+
+def _mg_truth(n_keys=200, scale=2000):
+    return {f"k{i}": scale // (i + 1) for i in range(n_keys)}
+
+
+def test_mg_guarantee_holds(spark):
+    df = _zipfish(spark)
+    true = _mg_truth()
+    n = sum(true.values())
+    k = 16
+    sk = sketches.mg_summary(df, "key", k).cache()
+    est = {r.item: r.est for r in sk.collect() if r.item is not None}
+    err = sketches.mg_error(sk).first().err
+    assert len(est) <= k
+    assert err * (k + 1) <= n  # published Misra-Gries bound
+    for item, c in true.items():
+        e = est.get(item, 0)
+        assert e <= c <= e + err, (item, e, c, err)
+        if c * (k + 1) > n:
+            assert item in est, f"heavy hitter {item} missing"
+
+
+def test_mg_merge_preserves_guarantee(spark):
+    df = _zipfish(spark)
+    true = _mg_truth()
+    n = sum(true.values())
+    k = 16
+    a = sketches.mg_summary(df.where("hash(key) % 2 = 0"), "key", k)
+    b = sketches.mg_summary(df.where("hash(key) % 2 != 0"), "key", k)
+    m = sketches.mg_merge(a, b, k).cache()
+    est = {r.item: r.est for r in m.collect() if r.item is not None}
+    err = sketches.mg_error(m).first().err
+    assert len(est) <= k
+    assert err * (k + 1) <= n
+    for item, c in true.items():
+        e = est.get(item, 0)
+        assert e <= c <= e + err, (item, e, c, err)
+
+
+def test_mg_no_prune_is_exact(spark):
+    """k >= distinct keys: the summary is the exact count table, err 0."""
+    df = _zipfish(spark, n_keys=10, scale=100)
+    sk = sketches.mg_summary(df, "key", 64).cache()
+    est = {r.item: r.est for r in sk.collect() if r.item is not None}
+    assert est == _mg_truth(n_keys=10, scale=100)
+    assert sketches.mg_error(sk).first().err == 0
+
+
+def test_mg_bound_check_matches_duckdb(spark, tmp_path):
+    import duckdb
+
+    df = _zipfish(spark, n_keys=50, scale=500)
+    p = str(tmp_path / "mg_src.parquet")
+    df.toPandas().to_parquet(p)
+    got = sorted(
+        (r.item, r.ok)
+        for r in sketches.mg_bound_check(df, "key", 8).collect())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW src AS SELECT * FROM read_parquet('{p}')")
+    want = sorted(map(tuple, con.sql(
+        sketches.duckdb_mg_heavy_sql("key", 8, "src")).fetchall()))
+    assert got == want and got and all(ok for _, ok in got)
+
+
+# ---------------------------------------------------------------------------
+# HLL set operations
+# ---------------------------------------------------------------------------
+
+def test_hll_set_ops_accuracy(spark):
+    a = _keys(spark, 8000)                       # k0..k7999
+    b = spark.range(4000, 12000).selectExpr("concat('k', id) AS key")
+    row = sketches.hll_set_ops(a, b, "key", p=12).collect()[0]
+    tol = hll_error_bound(12, sigmas=4.0)
+    assert abs(row.est_a - 8000) / 8000 <= tol
+    assert abs(row.est_b - 8000) / 8000 <= tol
+    assert abs(row.est_union - 12000) / 12000 <= tol
+    # intersection error scales with the union size
+    assert abs(row.est_intersection - 4000) <= 3 * tol * 12000
+
+
+def test_hll_set_ops_matches_duckdb(spark, tmp_path):
+    import duckdb
+
+    a = _keys(spark, 3000)
+    b = spark.range(1500, 5000).selectExpr("concat('k', id) AS key")
+    pa_, pb = str(tmp_path / "a.parquet"), str(tmp_path / "b.parquet")
+    a.toPandas().to_parquet(pa_)
+    b.toPandas().to_parquet(pb)
+    got = sketches.hll_set_ops(a, b, "key", p=10).collect()[0]
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW sa AS SELECT * FROM read_parquet('{pa_}')")
+    con.execute(f"CREATE VIEW sb AS SELECT * FROM read_parquet('{pb}')")
+    want = con.sql(
+        sketches.duckdb_hll_set_ops_sql("key", 10, "sa", "sb")).fetchone()
+    assert (got.est_a, got.est_b, got.est_union,
+            got.est_intersection) == want

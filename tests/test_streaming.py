@@ -245,6 +245,7 @@ def test_stateful_dedup_counter_parity_across_branches(spark):
     ("hll", {"p": 10}),
     ("countmin", {"depth": 3, "width": 256}),
     ("bloom", {"m_bits": 1 << 14, "k": 3}),
+    ("bottomk", {"value_col": "user", "k": 64}),
 ])
 def test_stream_sketch_matches_batch(spark, kind, params):
     """After N micro-batches the streaming sketch table is ROW-IDENTICAL
@@ -276,8 +277,11 @@ def test_stream_sketch_matches_batch(spark, kind, params):
             want = sketches.hll_registers(ev, "user", **params)
         elif kind == "countmin":
             want = sketches.countmin_table(ev, "user", **params)
-        else:
+        elif kind == "bloom":
             want = sketches.bloom_bits(ev, "user", **params)
+        else:
+            want = sketches.bottomk_sketch(
+                ev, "user", params["value_col"], params["k"])
         assert got == sorted(map(tuple, want.collect()))
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
