@@ -14,7 +14,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from qfspark import dedup, multimodal, similarity, sketches, textops
+from qfspark import dedup, multimodal, similarity, sketches, textops, urls
 from qfspark.build import build_qf
 from qfspark.lookup import annotate, filter_unseen
 from qfspark.shingle import duckdb_shingle_sql, shingle_expr
@@ -300,6 +300,37 @@ def _q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketches.mg_bound_check(ev, "user_id", k=128)
 
 
+#: deterministic "messy crawl" URL variants keyed by doc_id % 5 — the
+#: canonicalization fixtures (upper-cased host, default port, fragment,
+#: unsorted query params); identical CASE text in both engines.
+_MESSY_URL_CASES = """
+    CASE {mod}
+      WHEN 1 THEN 'HTTPS://' || upper(source)
+                  || '.EXAMPLE.COM:443/doc/' || {did}
+      WHEN 2 THEN 'https://' || source
+                  || '.example.com/doc/' || {did} || '#frag'
+      WHEN 3 THEN 'https://' || source
+                  || '.example.com/doc/' || {did} || '?b=2&a=1'
+      WHEN 4 THEN 'https://' || source
+                  || '.example.com:443/doc/' || {did} || '?a=1&b=2#x'
+      ELSE 'https://' || source || '.example.com/doc/' || {did}
+    END
+"""
+
+
+def _q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization over deterministic messy crawl variants:
+    the normalized url, host, registered domain, path and sorted query
+    are all oracle-checked values (qfspark.urls)."""
+    messy = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr(_MESSY_URL_CASES.format(
+            mod="pmod(doc_id, 5)",
+            did="CAST(doc_id AS STRING)")).alias("url"),
+    )
+    return urls.url_normalize(messy, "url")
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
@@ -398,6 +429,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kll_quantile_bounds": _q_quantile_bounds("kll"),
         "hll_url_set_ops": _q_hll_set_ops,
         "heavy_hitters": _q_heavy_hitters,
+        "url_normalize": _q_url_normalize,
     }
 
 
@@ -586,4 +618,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         "heavy_hitters":
             sketches.duckdb_mg_heavy_sql("user_id", 128, "events"),
+        "url_normalize": f"""
+            WITH messy AS (
+                SELECT doc_id,
+                       {_MESSY_URL_CASES.format(
+                           mod="doc_id % 5",
+                           did="CAST(doc_id AS VARCHAR)")} AS url
+                FROM documents
+            )
+            SELECT * FROM (
+                {urls.duckdb_url_normalize_sql("url", "messy")}
+            ) t
+        """,
     }
