@@ -148,6 +148,25 @@ def main():
     check("count-min probe broadcasts the counter table", p10,
           r"BroadcastHashJoin|BroadcastExchange")
 
+    # 11. Misra-Gries: the only data-sized pass is the vectorized
+    # MapInPandas partial; the (k+1)-th-largest threshold select is an
+    # order-limit (TakeOrdered), never a global Sort of the data
+    p11 = plan_of(sketches.mg_summary(docs, "source", 8))
+    check("MG partial pass is MapInPandas", p11, r"MapInPandas")
+    check("MG has no row-python eval", p11, r"BatchEvalPython",
+          must_exist=False)
+    check("MG threshold is an order-limit", p11,
+          r"TakeOrderedAndProject|CollectLimit")
+
+    # 12. URL canonicalization stays in whole-stage codegen
+    from qfspark import urls
+
+    p12 = plan_of(urls.url_normalize(wp, "url"))
+    check("url_normalize is pure codegen", p12, r"EvalPython",
+          must_exist=False)
+    check("url_normalize scan prunes columns", p12,
+          r"ReadSchema:.*struct<doc_id:bigint,text:string")
+
     spark.stop()
     print("\n%d failures" % len(failures))
     sys.exit(1 if failures else 0)
