@@ -288,6 +288,9 @@ def main() -> None:
         # mergeable sketch family (sketches.py)
         "hll_url_cardinality", "countmin_url_freq",
         "bloom_url_membership", "bottomk_quantiles",
+        "heavy_hitters", "hll_url_set_ops",
+        # crawl URL canonicalization (urls.py)
+        "url_normalize",
     ]
     qmap = entry_mod.queries()
     for name in fast_queries:
