@@ -291,6 +291,25 @@ def _q_hll_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         wp.where(did % 3 != 0), wp.where(did % 2 == 0), "url", p=10)
 
 
+def _q_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS second-moment estimate over the crawl's url multiset (fetch
+    counts 1-3) next to the exact F2 — the estimate is a deterministic
+    integer (sign-parity hashes, median of odd depth), so its VALUE is
+    oracle-checked."""
+    crawl = synthesize_crawl(spark, sf_dir)
+    est = sketches.ams_f2_estimate(
+        sketches.ams_f2_table(crawl, "url", depth=5, width=16),
+        depth=5, width=16)
+    exact = (
+        crawl.groupBy("url").agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum(F.expr("c * c")).cast("long").alias("f2_exact"))
+    )
+    return est.crossJoin(exact).withColumn(
+        "rel_err",
+        F.round(F.abs(F.col("f2_estimate") - F.col("f2_exact"))
+                / F.col("f2_exact"), 6))
+
+
 def _q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Misra-Gries frequent users over the events stream: every true
     heavy hitter (count > n/(k+1)) must be present with its undercount
@@ -430,6 +449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_url_set_ops": _q_hll_set_ops,
         "heavy_hitters": _q_heavy_hitters,
         "url_normalize": _q_url_normalize,
+        "ams_f2": _q_ams_f2,
     }
 
 
@@ -618,6 +638,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         "heavy_hitters":
             sketches.duckdb_mg_heavy_sql("user_id", 128, "events"),
+        "ams_f2": f"""
+            WITH crawl AS ({duckdb_crawl_sql()}),
+            est AS ({sketches.duckdb_ams_f2_sql("url", 5, 16, "crawl")}),
+            exact AS (
+                SELECT CAST(SUM(c * c) AS BIGINT) AS f2_exact
+                FROM (SELECT COUNT(*) AS c FROM crawl GROUP BY url)
+            )
+            SELECT e.f2_estimate, x.f2_exact,
+                   round(abs(e.f2_estimate - x.f2_exact)
+                         / x.f2_exact, 6) AS rel_err
+            FROM est e, exact x
+        """,
         "url_normalize": f"""
             WITH messy AS (
                 SELECT doc_id,

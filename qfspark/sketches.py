@@ -14,6 +14,8 @@ UDAF shape that makes 10^12-row builds shuffle-light:
 * Misra-Gries        — frequent items / heavy hitters (counter
                        sum-merge + prune; guarantee-gated like the
                        quantile sketches)
+* AMS F2             — second frequency moment (sign-sum rows,
+                       row-wise sum-merge; estimate deterministic)
 * HLL set algebra    — union via register merge, intersection via
                        inclusion-exclusion (deterministic estimates)
 * t-digest           — streaming quantiles (centroid merge, Python
@@ -375,6 +377,98 @@ def duckdb_countmin_sql(col: str, depth: int, width: int,
         SELECT e.{col}, MIN(COALESCE(cm.cnt, 0)) AS cm_count
         FROM expl e LEFT JOIN cm USING (row, col_idx)
         GROUP BY e.{col}
+    """
+
+
+# ===========================================================================
+# AMS F2 (second frequency moment)
+# ===========================================================================
+
+def ams_f2_table(df: DataFrame, col: str, depth: int = 5,
+                 width: int = 16) -> DataFrame:
+    """(row, j, s) AMS sketch of the second frequency moment
+    F2 = sum over distinct keys of count^2 (Alon, Matias & Szegedy
+    1996), median-of-means form: cell (g, j) holds
+    S_gj = sum over input rows of sign_gj(key), with sign_gj(key) =
+    +/-1 from the parity of hash60(i||':'||key), i = g*width + j.
+    One bounded explode (depth*width rows per input row — CPU, not
+    shuffle: partial aggregation collapses each partition to at most
+    depth*width cells map-side) + one groupBy over those cells.
+
+    Merge: union + ``ams_f2_merge`` (cell-wise sum) — exact-associative,
+    row-identical to a rebuild. Each E[S_gj^2] = F2 with variance
+    <= 2*F2^2; averaging width cells divides the variance by width and
+    the median over an odd ``depth`` of group means gives the standard
+    AMS concentration."""
+    if depth < 1 or depth % 2 == 0:
+        raise ValueError(f"depth must be odd and >= 1, got {depth}")
+    total = depth * width
+    h = spark_hash60(f"concat(i, ':', {col})")
+    return (
+        df.where(F.col(col).isNotNull())
+        .select(
+            F.col(col),
+            F.explode(F.expr(f"sequence(0, {total - 1})")).alias("i"),
+        )
+        .select(
+            F.expr(f"CAST(i div {width} AS INT)").alias("row"),
+            F.expr(f"CAST(pmod(i, {width}) AS INT)").alias("j"),
+            F.expr(f"CAST(1 - 2 * pmod({h}, 2) AS BIGINT)").alias("sign"),
+        )
+        .groupBy("row", "j")
+        .agg(F.sum("sign").alias("s"))
+    )
+
+
+def ams_f2_merge(*tables: DataFrame) -> DataFrame:
+    """Merge sketch tables: cell-wise sum. Exact-associative."""
+    it = iter(tables)
+    out = next(it)
+    for d in it:
+        out = out.unionByName(d)
+    return out.groupBy("row", "j").agg(F.sum("s").alias("s"))
+
+
+def ams_f2_estimate(table: DataFrame, depth: int = 5,
+                    width: int = 16) -> DataFrame:
+    """One row (f2_estimate): median over groups of the group-mean of
+    S^2. The per-group sum of squares stays integer; the single
+    division by ``width`` happens once on the selected median, so both
+    engines produce the identical double."""
+    per_g = table.groupBy("row").agg(
+        F.sum(F.expr("s * s")).cast("long").alias("ss"))
+    return (
+        per_g.agg(F.expr("sort_array(collect_list(ss))").alias("sq"))
+        .select(
+            F.round(
+                F.expr(f"CAST(sq[{(depth - 1) // 2}] AS DOUBLE)")
+                / F.lit(width), 1
+            ).alias("f2_estimate"))
+    )
+
+
+def duckdb_ams_f2_sql(col: str, depth: int, width: int,
+                      source: str) -> str:
+    """Oracle twin of ams_f2_table + ams_f2_estimate."""
+    h = duckdb_hash60(f"(i || ':' || {col})")
+    total = depth * width
+    return f"""
+        WITH t AS (
+            SELECT CAST(i // {width} AS INT) AS row,
+                   CAST(i % {width} AS INT) AS j,
+                   CAST(SUM(1 - 2 * ({h} % 2)) AS BIGINT) AS s
+            FROM {source}, unnest(range(0, {total})) AS u(i)
+            WHERE {col} IS NOT NULL
+            GROUP BY 1, 2
+        ),
+        per_g AS (
+            SELECT row, CAST(SUM(s * s) AS BIGINT) AS ss
+            FROM t GROUP BY row
+        ),
+        sq AS (SELECT list_sort(list(ss)) AS sq FROM per_g)
+        SELECT round(CAST(sq[{(depth - 1) // 2 + 1}] AS DOUBLE)
+                     / {width}, 1) AS f2_estimate
+        FROM sq
     """
 
 

@@ -413,3 +413,46 @@ def test_hll_set_ops_matches_duckdb(spark, tmp_path):
         sketches.duckdb_hll_set_ops_sql("key", 10, "sa", "sb")).fetchone()
     assert (got.est_a, got.est_b, got.est_union,
             got.est_intersection) == want
+
+
+# ---------------------------------------------------------------------------
+# AMS F2
+# ---------------------------------------------------------------------------
+
+def test_ams_f2_accuracy(spark):
+    df = _zipfish(spark)                 # known counts scale//(i+1)
+    true = _mg_truth()
+    f2 = sum(c * c for c in true.values())
+    est = sketches.ams_f2_estimate(
+        sketches.ams_f2_table(df, "key", depth=5, width=32),
+        depth=5, width=32).collect()[0].f2_estimate
+    # median-of-means: sd ~ sqrt(2/width)*F2 per group; 4-sigma slack
+    assert abs(est - f2) / f2 <= 4.0 * math.sqrt(2.0 / 32), (est, f2)
+
+
+def test_ams_f2_merge_equals_rebuild(spark):
+    df = _zipfish(spark, n_keys=50, scale=400)
+    whole = sketches.ams_f2_table(df, "key", depth=3, width=8)
+    a = sketches.ams_f2_table(
+        df.where("hash(key) % 2 = 0"), "key", depth=3, width=8)
+    b = sketches.ams_f2_table(
+        df.where("hash(key) % 2 != 0"), "key", depth=3, width=8)
+    merged = sketches.ams_f2_merge(a, b)
+    assert sorted(map(tuple, merged.collect())) == \
+        sorted(map(tuple, whole.collect()))
+
+
+def test_ams_f2_matches_duckdb(spark, tmp_path):
+    import duckdb
+
+    df = _zipfish(spark, n_keys=60, scale=300)
+    p = str(tmp_path / "ams_src.parquet")
+    df.toPandas().to_parquet(p)
+    got = sketches.ams_f2_estimate(
+        sketches.ams_f2_table(df, "key", depth=5, width=8),
+        depth=5, width=8).collect()[0].f2_estimate
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW src AS SELECT * FROM read_parquet('{p}')")
+    want = con.sql(
+        sketches.duckdb_ams_f2_sql("key", 5, 8, "src")).fetchone()[0]
+    assert got == want
