@@ -418,7 +418,8 @@ class ShardedQF:
 _SHARD_SCHEMA = (
     "shard long, entries long, q_bits int, payload binary, "
     "payload_path string, hash_name string, counter_bits int, "
-    "shard_bits int, n_rows long, build_ts double, code_version string"
+    "shard_bits int, n_rows long, build_ts double, code_version string, "
+    "build_secs double"
 )
 
 # parquet options for hash spill tables: dictionary encoding is pure
@@ -445,9 +446,12 @@ def shard_payload_bytes(row) -> bytes:
 
 
 def _finish_shard(qf: QF, shard: int, n_rows: int, cfg: QFConfig,
-                  shard_bits: int, payload_dir: str | None) -> dict:
+                  shard_bits: int, payload_dir: str | None,
+                  t0: float | None = None) -> dict:
     """Common tail of every shard build: serialize (inline or sidecar)
-    and produce the lineage row."""
+    and produce the lineage row (``build_secs`` measured from ``t0``,
+    the per-shard task metric the checkpoint table carries alongside
+    entries/n_rows/build_ts/code_version)."""
     blob = qf_to_bytes(qf)
     payload, payload_path = blob, ""
     if payload_dir:
@@ -471,6 +475,7 @@ def _finish_shard(qf: QF, shard: int, n_rows: int, cfg: QFConfig,
         "n_rows": n_rows,
         "build_ts": time.time(),
         "code_version": _CODE_VERSION,
+        "build_secs": round(time.time() - t0, 4) if t0 is not None else 0.0,
     }
 
 
@@ -612,6 +617,7 @@ def _exchange_arrow(hashed: DataFrame, sb: int, config: QFConfig,
     def _build_fat(tbl: "pa.Table") -> "pa.Table":
         if tbl.num_rows == 0:
             return pa_schema.empty_table()
+        t0 = time.time()
         shard = tbl.column("shard")[0].as_py()
         # zero-copy: flatten the list column's value buffer per chunk
         arrs = [c.flatten().to_numpy(zero_copy_only=False)
@@ -624,7 +630,8 @@ def _exchange_arrow(hashed: DataFrame, sb: int, config: QFConfig,
         else:
             uniq, counts = np.unique(hv), None
         qf = QF.from_hashes(uniq, counts, cfg, assume_unique=True)
-        row = _finish_shard(qf, int(shard), len(hv), cfg, sb, payload_dir)
+        row = _finish_shard(qf, int(shard), len(hv), cfg, sb, payload_dir,
+                            t0=t0)
         return pa.Table.from_pylist([row], schema=pa_schema)
 
     return fat.groupBy("shard").applyInArrow(_build_fat, _SHARD_SCHEMA)
@@ -639,7 +646,7 @@ def _pa_shard_schema():
         ("payload_path", pa.string()), ("hash_name", pa.string()),
         ("counter_bits", pa.int32()), ("shard_bits", pa.int32()),
         ("n_rows", pa.int64()), ("build_ts", pa.float64()),
-        ("code_version", pa.string()),
+        ("code_version", pa.string()), ("build_secs", pa.float64()),
     ])
 
 
@@ -688,6 +695,7 @@ def _exchange_storage(spark: SparkSession, hashed: DataFrame, sb: int,
 
         for pdf in pdfs:
             for s in pdf["shard"].tolist():
+                t0 = time.time()
                 d = os.path.join(spill, f"shard={s}")
                 if not os.path.isdir(d):
                     continue  # empty shard: no row, same as other modes
@@ -703,7 +711,8 @@ def _exchange_storage(spark: SparkSession, hashed: DataFrame, sb: int,
                     uniq, counts = np.unique(hv), None
                 qf = QF.from_hashes(uniq, counts, cfg, assume_unique=True)
                 yield pd.DataFrame(
-                    [_finish_shard(qf, int(s), len(hv), cfg, sb, payload_dir)])
+                    [_finish_shard(qf, int(s), len(hv), cfg, sb,
+                                   payload_dir, t0=t0)])
 
     return ids_df.mapInPandas(_build_from_spill, _SHARD_SCHEMA), cleanup
 
@@ -761,6 +770,7 @@ def _merge_and_build(config: QFConfig, shard_bits: int,
     cfg = config
 
     def _fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        t0 = time.time()
         hv, counts = _merge_hash_blobs(
             list(zip(pdf["hashes"], pdf["counts"])), cfg.counter_bits
         )
@@ -770,7 +780,7 @@ def _merge_and_build(config: QFConfig, shard_bits: int,
         )
         return pd.DataFrame(
             [_finish_shard(qf, int(pdf["shard"].iloc[0]), n_rows, cfg,
-                           shard_bits, payload_dir)]
+                           shard_bits, payload_dir, t0=t0)]
         )
 
     return _fn

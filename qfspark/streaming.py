@@ -53,6 +53,8 @@ def _merge_shard_tables(spark, existing_path: str, new_df: DataFrame,
         row["entries"] = len(merged)
         row["q_bits"] = merged.q_bits
         row["n_rows"] = int(pdf["n_rows"].sum())
+        if "build_secs" in row.index:
+            row["build_secs"] = float(pdf["build_secs"].sum())
         return pd.DataFrame([row])
 
     schema = existing.schema

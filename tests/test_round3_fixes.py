@@ -178,3 +178,17 @@ def test_annotate_reuses_broadcast(spark, monkeypatch):
     finally:
         lookup._BROADCAST_CACHE.clear()
     assert len(calls) == 1
+
+
+def test_shard_lineage_carries_build_metrics(spark):
+    """Every shard row records its per-task build duration alongside
+    the existing lineage (entries/n_rows/build_ts/code_version)."""
+    from qfspark.build import build_sharded_qf
+
+    df = spark.range(5000).selectExpr("concat('k', id) AS key")
+    shards = build_sharded_qf(df, "key", shard_bits=2,
+                              config=QFConfig(counter_bits=8),
+                              exchange="arrow")
+    rows = shards.select("shard", "n_rows", "build_secs").collect()
+    assert rows and all(r.build_secs > 0 for r in rows), rows
+    assert sum(r.n_rows for r in rows) == 5000
