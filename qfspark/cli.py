@@ -6,6 +6,10 @@
                                  [--expected-entries N] [--spark]
   python -m qfspark.cli lookup   <filter.qf> <key> [...]
   python -m qfspark.cli describe <filter.qf>
+  python -m qfspark.cli sketch   distinct|topk|quantiles|f2
+                                 --input lines.txt|table.parquet
+                                 [--column c] [--p 12] [--k 20]
+                                 [--qs 0.5,0.9] [--quantile-sketch kll]
 
 ``build`` reads newline-delimited text (the reference's only source,
 cmd/main.go:52-77) or a parquet column; with ``--spark`` the build runs
@@ -103,6 +107,71 @@ def cmd_merge(args) -> int:
     return 0
 
 
+def _read_keys_df(args):
+    """Shared input reader for Spark-backed subcommands: parquet column
+    or newline-delimited text. Reuses an active session (tests) or
+    creates one (returned flag says whether we own it)."""
+    from pyspark.sql import SparkSession
+
+    active = SparkSession.getActiveSession()
+    spark = (
+        active
+        or SparkSession.builder.master(args.master)
+        .appName("qfspark-sketch").getOrCreate()
+    )
+    if args.input.endswith(".parquet"):
+        df = spark.read.parquet(args.input)
+        col = args.column or df.columns[0]
+    else:
+        df = spark.read.text(args.input).withColumnRenamed("value", "key")
+        col = "key"
+    return spark, active is None, df, col
+
+
+def cmd_sketch(args) -> int:
+    """Approximate aggregates over a file without writing a job:
+    distinct count (HLL), heavy hitters (Misra-Gries), quantiles
+    (t-digest / KLL), second frequency moment (AMS)."""
+    from pyspark.sql import functions as F
+
+    from . import sketches
+
+    spark, owned, df, col = _read_keys_df(args)
+    try:
+        if args.what == "distinct":
+            row = sketches.hll_cardinality(df, col, p=args.p).collect()[0]
+            bound = sketches.hll_error_bound(args.p, sigmas=1.0)
+            print(f"distinct ~= {row.estimate:.0f}  "
+                  f"(p={args.p}, +/-{bound:.2%} at 1 sigma)")
+        elif args.what == "topk":
+            sk = sketches.mg_summary(df, col, k=args.k)
+            err = sketches.mg_error(sk).first().err
+            rows = (sketches.mg_estimates(sk)
+                    .orderBy(F.desc("est"), "item").collect())
+            for r in rows:
+                print(f"{r.item}\t[{r.est}, {r.est + err}]")
+            print(f"# {len(rows)} counters; undercount budget err={err}")
+        elif args.what == "quantiles":
+            qs = [float(x) for x in args.qs.split(",")]
+            vals = df.select(F.col(col).cast("double").alias(col))
+            if args.quantile_sketch == "tdigest":
+                d = sketches.tdigest_build(vals, col, args.compression)
+            else:
+                d = sketches.kll_build(vals, col, args.kll_k)
+            for q in qs:
+                print(f"q{q:g}\t{d.quantile(q)}")
+        elif args.what == "f2":
+            row = sketches.ams_f2_estimate(
+                sketches.ams_f2_table(df, col, args.depth, args.width),
+                args.depth, args.width).collect()[0]
+            print(f"F2 ~= {row.f2_estimate:.0f}  "
+                  f"(depth={args.depth}, width={args.width})")
+    finally:
+        if owned:
+            spark.stop()
+    return 0
+
+
 def cmd_describe(args) -> int:
     try:
         h = read_header_from_path(args.filter)
@@ -162,6 +231,25 @@ def main(argv=None) -> int:
     m.add_argument("--hash", default="murmur64a",
                    help="hash to assume for go-qfext-format inputs")
     m.set_defaults(fn=cmd_merge)
+
+    sk = sub.add_parser(
+        "sketch", help="approximate aggregates over text lines or parquet")
+    sk.add_argument("what",
+                    choices=["distinct", "topk", "quantiles", "f2"])
+    sk.add_argument("--input", required=True)
+    sk.add_argument("--column", default=None)
+    sk.add_argument("--master", default="local[*]")
+    sk.add_argument("--p", type=int, default=12, help="HLL precision")
+    sk.add_argument("--k", type=int, default=20,
+                    help="Misra-Gries counter budget")
+    sk.add_argument("--qs", default="0.5,0.9,0.99")
+    sk.add_argument("--quantile-sketch", default="tdigest",
+                    choices=["tdigest", "kll"])
+    sk.add_argument("--compression", type=int, default=100)
+    sk.add_argument("--kll-k", type=int, default=256)
+    sk.add_argument("--depth", type=int, default=5)
+    sk.add_argument("--width", type=int, default=16)
+    sk.set_defaults(fn=cmd_sketch)
 
     d = sub.add_parser("describe", help="print filter file metadata")
     d.add_argument("filter")

@@ -192,3 +192,34 @@ def test_cli_merge(tmp_path):
     assert "x: present (count=2)" in r.stdout
     assert "y: present (count=2)" in r.stdout  # 1 + 1 across filters
     assert "z: present (count=1)" in r.stdout
+
+
+def test_cli_sketch(tmp_path, spark, capsys):
+    """`sketch` subcommand reuses the active session (no JVM respawn)
+    and prints the approximate aggregates."""
+    from qfspark.cli import main
+
+    lines = tmp_path / "keys.txt"
+    lines.write_text("".join(
+        f"k{i % 40}\n" for i in range(400)))  # 40 distinct, uniform 10x
+
+    assert main(["sketch", "distinct", "--input", str(lines)]) == 0
+    out = capsys.readouterr().out
+    assert "distinct ~=" in out
+
+    assert main(["sketch", "topk", "--input", str(lines), "--k", "8"]) == 0
+    out = capsys.readouterr().out
+    assert "undercount budget" in out
+
+    # numeric parquet column for quantiles + f2
+    pq = str(tmp_path / "vals.parquet")
+    spark.range(1000).selectExpr("CAST(id AS DOUBLE) AS v") \
+        .toPandas().to_parquet(pq)
+    assert main(["sketch", "quantiles", "--input", pq,
+                 "--qs", "0.5", "--quantile-sketch", "kll"]) == 0
+    out = capsys.readouterr().out
+    assert out.startswith("q0.5")
+
+    assert main(["sketch", "f2", "--input", str(lines)]) == 0
+    assert "F2 ~=" in capsys.readouterr().out
+    assert spark.sparkContext._jsc is not None  # session not stopped
