@@ -304,10 +304,16 @@ def _q_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
         crawl.groupBy("url").agg(F.count(F.lit(1)).alias("c"))
         .agg(F.sum(F.expr("c * c")).cast("long").alias("f2_exact"))
     )
-    return est.crossJoin(exact).withColumn(
-        "rel_err",
-        F.round(F.abs(F.col("f2_estimate") - F.col("f2_exact"))
-                / F.col("f2_exact"), 6))
+    # 4-sigma envelope on the width-mean's sd sqrt(2/width)*F2
+    bound = 4.0 * (2.0 / 16) ** 0.5
+    return (
+        est.crossJoin(exact)
+        .withColumn(
+            "rel_err",
+            F.round(F.abs(F.col("f2_estimate") - F.col("f2_exact"))
+                    / F.col("f2_exact"), 6))
+        .withColumn("within_bound", F.col("rel_err") <= F.lit(bound))
+    )
 
 
 def _q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -647,7 +653,10 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT e.f2_estimate, x.f2_exact,
                    round(abs(e.f2_estimate - x.f2_exact)
-                         / x.f2_exact, 6) AS rel_err
+                         / x.f2_exact, 6) AS rel_err,
+                   round(abs(e.f2_estimate - x.f2_exact)
+                         / x.f2_exact, 6) <= {4.0 * (2.0 / 16) ** 0.5!r}
+                       AS within_bound
             FROM est e, exact x
         """,
         "url_normalize": f"""
