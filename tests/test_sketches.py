@@ -456,3 +456,48 @@ def test_ams_f2_matches_duckdb(spark, tmp_path):
     want = con.sql(
         sketches.duckdb_ams_f2_sql("key", 5, 8, "src")).fetchone()[0]
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# xxhash64 fast path (production hash scheme; no cross-engine twin)
+# ---------------------------------------------------------------------------
+
+def test_xxhash_scheme_hll_accuracy(spark):
+    est = sketches.hll_cardinality(
+        _keys(spark, 20000), "key", 12,
+        hash_scheme="xxhash64").collect()[0]
+    assert abs(est.estimate - 20000) / 20000 <= hll_error_bound(12, 4.0)
+
+
+def test_xxhash_scheme_countmin_never_underestimates(spark):
+    df = _keys(spark, 3000, dup_every=3)
+    cm = countmin_table(df, "key", 4, 512, hash_scheme="xxhash64")
+    est = countmin_query(cm, df, "key", 4, 512, hash_scheme="xxhash64")
+    true = df.groupBy("key").count()
+    bad = (est.join(true, "key")
+           .where("cm_count < count").count())
+    assert bad == 0
+
+
+def test_xxhash_scheme_bloom_zero_fn(spark):
+    df = _keys(spark, 2000)
+    bits = bloom_bits(df, "key", 1 << 15, 4, hash_scheme="xxhash64")
+    seen = bloom_contains(bits, df, "key", 1 << 15, 4,
+                          hash_scheme="xxhash64")
+    assert seen.where("NOT bloom_seen").count() == 0
+
+
+def test_xxhash_scheme_merge_equals_rebuild(spark):
+    df = _keys(spark, 4000)
+    a = hll_registers(df.where("hash(key) % 2 = 0"), "key", 10,
+                      hash_scheme="xxhash64")
+    b = hll_registers(df.where("hash(key) % 2 != 0"), "key", 10,
+                      hash_scheme="xxhash64")
+    whole = hll_registers(df, "key", 10, hash_scheme="xxhash64")
+    assert sorted(map(tuple, hll_merge(a, b).collect())) == \
+        sorted(map(tuple, whole.collect()))
+
+
+def test_unknown_hash_scheme_raises(spark):
+    with pytest.raises(ValueError, match="hash scheme"):
+        sketches.sketch_hash("key", "md5")
