@@ -167,25 +167,29 @@ def stream_sketch(
     ``countmin_query`` / ``bloom_contains``."""
     from . import sketches
 
+    scheme = params.get("hash_scheme", "hash60")
     builders = {
         "hll": (
-            lambda df: sketches.hll_registers(df, col, params.get("p", 12)),
+            lambda df: sketches.hll_registers(
+                df, col, params.get("p", 12), hash_scheme=scheme),
             sketches.hll_merge,
         ),
         "countmin": (
             lambda df: sketches.countmin_table(
-                df, col, params.get("depth", 4), params.get("width", 1024)),
+                df, col, params.get("depth", 4), params.get("width", 1024),
+                hash_scheme=scheme),
             sketches.countmin_merge,
         ),
         "bloom": (
             lambda df: sketches.bloom_bits(
-                df, col, params.get("m_bits", 1 << 16), params.get("k", 4)),
+                df, col, params.get("m_bits", 1 << 16), params.get("k", 4),
+                hash_scheme=scheme),
             sketches.bloom_merge,
         ),
         "bottomk": (
             lambda df: sketches.bottomk_sketch(
                 df, col, params.get("value_col", col),
-                params.get("k", 512)),
+                params.get("k", 512), hash_scheme=scheme),
             lambda a, b: sketches.bottomk_merge(
                 a, b, params.get("k", 512)),
         ),
