@@ -456,6 +456,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters": _q_heavy_hitters,
         "url_normalize": _q_url_normalize,
         "ams_f2": _q_ams_f2,
+        # cluster-aware near-dup: pairs -> connected components (min-id
+        # label propagation with pointer jumping; DuckDB twin is a
+        # recursive CTE over the identical pair list)
+        "near_dup_clusters": lambda s, d: dedup.connected_components(
+            dedup.minhash_lsh_pairs(_docs(s, d), threshold=0.2)
+        ),
     }
 
 
@@ -644,6 +650,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "heavy_hitters":
             sketches.duckdb_mg_heavy_sql("user_id", 128, "events"),
+        "near_dup_clusters": dedup.duckdb_connected_components_sql(
+            f"({dedup.duckdb_minhash_lsh_pairs_sql(threshold=0.2)})"),
         "ams_f2": f"""
             WITH crawl AS ({duckdb_crawl_sql()}),
             est AS ({sketches.duckdb_ams_f2_sql("url", 5, 16, "crawl")}),

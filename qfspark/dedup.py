@@ -672,3 +672,127 @@ def duckdb_simhash_sql(col: str = "text") -> str:
         agg AS (SELECT doc_id, {votes} FROM hashed GROUP BY doc_id)
         SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM agg
     """
+
+
+# ===========================================================================
+# connected components (near-dup clusters)
+# ===========================================================================
+
+def connected_components(pairs: DataFrame, src: str = "doc_a",
+                         dst: str = "doc_b",
+                         max_iter: int = 25) -> DataFrame:
+    """(node, component) labels for the undirected graph of ``pairs``:
+    component = the minimum node id reachable from the node. The
+    cluster-aware form of near-dup removal — a chain a-b, b-c collapses
+    to ONE cluster {a,b,c} (keep min(component)), where per-pair
+    drop-the-larger would remove b and c independently.
+
+    Distributed shape: min-label propagation with POINTER JUMPING —
+    each round takes (a) the min over graph neighbors and (b) the label
+    of the node's own label (path halving), so convergence is
+    O(log diameter) rounds rather than O(diameter); every round is two
+    shuffles on node id (partition-count sized, AQE-coalesced) and the
+    loop exits on a fixpoint count. Lineage is cut per round with
+    localCheckpoint (iterative plans otherwise grow exponentially).
+
+    Nodes appearing in no pair are absent (their component is
+    themselves; callers union them in if needed, as dedup_clusters
+    does)."""
+    edges = (
+        pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(pairs.select(F.col(dst).alias("a"),
+                                  F.col(src).alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("a").alias("node")).distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(
+                labels.select(F.col("node").alias("b"),
+                              F.col("comp").alias("nbr_comp")), "b")
+            .groupBy("a").agg(F.min("nbr_comp").alias("nbr_min"))
+            .select(F.col("a").alias("node"), "nbr_min")
+        )
+        jump = (
+            labels.alias("l1")
+            .join(labels.select(F.col("node").alias("comp"),
+                                F.col("comp").alias("jump_comp")).alias("l2"),
+                  "comp")
+            .select("node", "jump_comp")
+        )
+        new_labels = (
+            labels.join(nbr_min, "node", "left")
+            .join(jump, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("comp"),
+                    F.coalesce("nbr_min", F.col("comp")),
+                    F.coalesce("jump_comp", F.col("comp")),
+                ).alias("comp"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            labels.select("node", F.col("comp").alias("old_comp"))
+            .join(new_labels, "node")
+            .where(F.col("old_comp") != F.col("comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node"), F.col("comp").alias("component"))
+
+
+def dedup_clusters(df: DataFrame, pairs: DataFrame,
+                   id_col: str = "doc_id", src: str = "doc_a",
+                   dst: str = "doc_b") -> DataFrame:
+    """Keep exactly one document (the minimum id) per near-dup cluster:
+    ``df`` ids not in any pair survive as their own cluster. Returns the
+    surviving (id_col) rows."""
+    comp = connected_components(pairs, src, dst)
+    labeled = (
+        df.select(F.col(id_col))
+        .join(comp.select(F.col("node").alias(id_col), "component"),
+              id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("component", F.col(id_col)).alias("component"),
+        )
+    )
+    return (
+        labeled.groupBy("component")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+
+
+def duckdb_connected_components_sql(pairs_source: str, src: str = "doc_a",
+                                    dst: str = "doc_b") -> str:
+    """Oracle twin of ``connected_components``: a recursive CTE walks
+    every (start, reached) pair of the symmetric closure; the component
+    label is the minimum start id that reaches each node.
+    ``pairs_source`` is a table name or parenthesized subquery holding
+    the pair list (the whole statement starts with WITH RECURSIVE, so
+    it cannot be appended to an outer WITH — inline the pairs
+    instead)."""
+    return f"""
+        WITH RECURSIVE sym AS (
+            SELECT {src} AS a, {dst} AS b FROM {pairs_source}
+            UNION
+            SELECT {dst} AS a, {src} AS b FROM {pairs_source}
+        ),
+        walk(node, start) AS (
+            SELECT a, a FROM sym
+            UNION
+            SELECT s.b, w.start FROM walk w JOIN sym s ON s.a = w.node
+        )
+        SELECT node, MIN(start) AS component
+        FROM walk GROUP BY node
+    """

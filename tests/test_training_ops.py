@@ -390,3 +390,52 @@ def test_resize_images_spark(spark):
     assert small.shape == (2, 2, 3)
     assert tuple(small[0, 0]) == (255, 0, 0)   # top row stayed on top
     assert tuple(small[1, 0]) == (0, 0, 255)
+
+
+# ---------------------------------------------------------------------------
+# connected components / cluster dedup
+# ---------------------------------------------------------------------------
+
+def test_connected_components_chain_clique_isolated(spark):
+    pairs = [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12),
+             (20, 21), (30, 31), (31, 32), (5, 1)]
+    pdf = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    got = {r.node: r.component
+           for r in dedup.connected_components(pdf).collect()}
+    want = {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 12: 10,
+            20: 20, 21: 20, 30: 30, 31: 30, 32: 30}
+    assert got == want
+
+
+def test_connected_components_matches_duckdb(spark):
+    import duckdb
+    import pandas as pd
+
+    pairs = [(i, i + 1) for i in range(0, 40, 2)] + \
+            [(i, i + 3) for i in range(0, 30, 5)]
+    pdf = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    got = sorted(map(tuple, dedup.connected_components(pdf).collect()))
+    con = duckdb.connect()
+    con.register("p", pd.DataFrame(pairs, columns=["doc_a", "doc_b"]))
+    want = sorted(map(tuple, con.sql(
+        dedup.duckdb_connected_components_sql("p")).fetchall()))
+    assert got == want
+
+
+def test_connected_components_long_path_converges(spark):
+    """A 64-node path needs O(log n) pointer-jumping rounds, well under
+    max_iter — everything collapses to component 0."""
+    pairs = [(i, i + 1) for i in range(63)]
+    pdf = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    comp = dedup.connected_components(pdf).select("component").distinct()
+    assert [r.component for r in comp.collect()] == [0]
+
+
+def test_dedup_clusters_keeps_min_and_isolated(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long")
+    docs = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 10, 11, 99]], "doc_id long")
+    surv = sorted(r.doc_id
+                  for r in dedup.dedup_clusters(docs, pairs).collect())
+    assert surv == [1, 10, 99]
