@@ -310,11 +310,18 @@ def clean_corpus(
     min_tokens: int = 20,
     k: int = 3,
     near_dup_jaccard: float = 0.6,
+    cluster: bool = False,
 ) -> DataFrame:
     """The composed training-data cleaning pass: quality gate -> exact
-    dedup (keep min doc_id per content hash) -> near-dup removal (drop
-    the higher doc_id of every pair with shingle Jaccard >= threshold).
+    dedup (keep min doc_id per content hash) -> near-dup removal.
     Returns the surviving (doc_id) rows.
+
+    ``cluster=False`` (default, the oracle-checked mode) drops the
+    higher doc_id of every pair — a chain a-b, b-c removes b AND c.
+    ``cluster=True`` resolves pairs into connected components first and
+    keeps exactly one doc (the min id) per cluster — the
+    transitive-closure policy production near-dup removal wants
+    (``connected_components``/``dedup_clusters``).
 
     Each stage is the scale-shaped operator defined above; the
     composition is what a Common-Crawl-style corpus actually runs before
@@ -327,9 +334,11 @@ def clean_corpus(
         .select(F.col("keep_doc_id").alias("doc_id"))
     )
     survivors = quality.join(keep_exact, "doc_id")
-    near = minhash_lsh_pairs(
-        survivors, col, k=k, threshold=near_dup_jaccard
-    ).select(F.col("doc_b").alias("doc_id")).distinct()
+    pairs = minhash_lsh_pairs(survivors, col, k=k,
+                              threshold=near_dup_jaccard)
+    if cluster:
+        return dedup_clusters(survivors, pairs)
+    near = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
     return (
         survivors.join(near, "doc_id", "left_anti").select("doc_id")
     )

@@ -439,3 +439,19 @@ def test_dedup_clusters_keeps_min_and_isolated(spark):
     surv = sorted(r.doc_id
                   for r in dedup.dedup_clusters(docs, pairs).collect())
     assert surv == [1, 10, 99]
+
+
+def test_clean_corpus_cluster_mode(spark):
+    """Cluster mode keeps >= the per-pair mode (transitive chains
+    collapse to one survivor instead of dropping every doc_b), and both
+    keep one doc per exact-duplicate group."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    pairwise = {r.doc_id for r in
+                dedup.clean_corpus(docs, near_dup_jaccard=0.3).collect()}
+    clustered = {r.doc_id for r in dedup.clean_corpus(
+        docs, near_dup_jaccard=0.3, cluster=True).collect()}
+    # the component minimum is the smallest id in its cluster, so it can
+    # never be a pair's doc_b (pairs have doc_a < doc_b): every cluster
+    # survivor also survives the per-pair policy, while transitive
+    # chains can make the per-pair policy keep extra docs
+    assert clustered and clustered <= pairwise
