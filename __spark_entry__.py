@@ -279,6 +279,28 @@ def _q_quantile_bounds(kind: str):
     return run
 
 
+#: deterministic PII injection keyed by doc_id % 4 — identical CASE
+#: text in both engines (mod/did substituted per dialect)
+_PII_CASES = """
+    CASE {mod}
+      WHEN 1 THEN text || ' contact user' || {did} || '@example.com now'
+      WHEN 2 THEN text || ' server 10.1.2.' || {did}
+      WHEN 3 THEN text || ' call 555-123-4567 today'
+      ELSE text
+    END
+"""
+
+
+def _q_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pii = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr(_PII_CASES.format(
+            mod="pmod(doc_id, 4)",
+            did="CAST(doc_id AS STRING)")).alias("text"),
+    )
+    return textops.scrub_pii(pii, "text")
+
+
 def _q_hll_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL set algebra over two overlapping crawl subsets (urls whose
     doc id misses a 3-cycle vs hits a 2-cycle): per-set cardinalities,
@@ -462,6 +484,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_clusters": lambda s, d: dedup.connected_components(
             dedup.minhash_lsh_pairs(_docs(s, d), threshold=0.2)
         ),
+        # eval-set decontamination: CQF over the benchmark's 5-gram
+        # shingles (broadcast), per-doc overlap counts map-side; the
+        # benchmark here is the doc_id % 29 slice of the corpus itself,
+        # so contamination is guaranteed non-trivial
+        "decontaminate": lambda s, d: textops.decontaminate(
+            _docs(s, d),
+            _docs(s, d).where("pmod(doc_id, 29) = 0"),
+            k=5, min_overlap=2,
+        ),
+        # PII scrubbing over deterministically-injected emails / IPs /
+        # phone numbers; scrubbed text AND redaction counts are
+        # value-exact oracle-checked
+        "scrub_pii": _q_scrub_pii,
     }
 
 
@@ -652,6 +687,16 @@ def oracle_sql() -> dict[str, str]:
             sketches.duckdb_mg_heavy_sql("user_id", 128, "events"),
         "near_dup_clusters": dedup.duckdb_connected_components_sql(
             f"({dedup.duckdb_minhash_lsh_pairs_sql(threshold=0.2)})"),
+        "decontaminate": textops.duckdb_decontaminate_sql(
+            "text", 5, 2, "documents",
+            "(SELECT * FROM documents WHERE doc_id % 29 = 0)"),
+        "scrub_pii": textops.duckdb_scrub_pii_sql(
+            "text",
+            f"""(SELECT doc_id,
+                        {_PII_CASES.format(
+                            mod="doc_id % 4",
+                            did="CAST(doc_id AS VARCHAR)")} AS text
+                 FROM documents)"""),
         "ams_f2": f"""
             WITH crawl AS ({duckdb_crawl_sql()}),
             est AS ({sketches.duckdb_ams_f2_sql("url", 5, 16, "crawl")}),

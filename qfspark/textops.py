@@ -266,3 +266,140 @@ def duckdb_rolling_fingerprint_sql(col: str = "text", k: int = 8) -> str:
                            (a, x) -> xor(a, x)) AS roll_xor
         FROM documents
     """
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination (CQF-backed n-gram overlap)
+# ---------------------------------------------------------------------------
+
+def decontaminate(docs: DataFrame, benchmark: DataFrame,
+                  col: str = "text", k: int = 8, min_overlap: int = 1,
+                  config=None) -> DataFrame:
+    """(doc_id, overlap_shingles, contaminated) per training document:
+    how many of its distinct k-gram shingles appear anywhere in the
+    benchmark/eval set, and whether that reaches ``min_overlap`` — the
+    standard pre-training decontamination pass (eval n-grams must not
+    leak into the training corpus).
+
+    Scale shape — the reason the CQF is the right tool: the benchmark
+    is MBs while the corpus is TBs, so its shingle filter builds once
+    and BROADCASTS; each training doc then probes the filter map-side
+    (no join, no shuffle of the corpus — the only aggregation is the
+    per-doc overlap count, map-side partial). False positives inflate
+    the overlap count with probability <= 2^-r per probe — vanishing at
+    the default remainder width, which is why the DuckDB twin (an exact
+    n-gram intersection) reproduces the counts exactly at gate scale."""
+    from .build import build_qf
+    from .lookup import annotate
+    from .shingle import shingle_expr
+    from .sizing import QFConfig
+
+    config = config or QFConfig(counter_bits=0, hash_name="xxhash64")
+    bench_sh = (
+        benchmark.select(
+            F.explode(F.expr(shingle_expr(col, k))).alias("shingle"))
+        .distinct()
+    )
+    qf = build_qf(bench_sh, "shingle", config=config)
+    doc_sh = (
+        docs.select(
+            "doc_id",
+            F.explode(F.expr(shingle_expr(col, k))).alias("shingle"))
+        .distinct()
+    )
+    hits = annotate(doc_sh, "shingle", qf, seen_col="_seen")
+    overlap = (
+        hits.groupBy("doc_id")
+        .agg(F.sum(F.when(F.col("_seen"), 1).otherwise(0))
+             .cast("long").alias("overlap_shingles"))
+    )
+    return (
+        docs.select("doc_id").distinct()
+        .join(overlap, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("overlap_shingles", F.lit(0)).cast("long")
+            .alias("overlap_shingles"),
+        )
+        .withColumn("contaminated",
+                    F.col("overlap_shingles") >= min_overlap)
+    )
+
+
+def duckdb_decontaminate_sql(col: str, k: int, min_overlap: int,
+                             docs_source: str,
+                             bench_source: str) -> str:
+    """Oracle twin of ``decontaminate``: exact distinct n-gram
+    intersection counts."""
+    from .shingle import duckdb_shingle_sql
+
+    sh = duckdb_shingle_sql(col, k)
+    return f"""
+        WITH bench_sh AS (
+            SELECT DISTINCT unnest({sh}) AS shingle FROM {bench_source}
+        ),
+        doc_sh AS (
+            SELECT DISTINCT doc_id, unnest({sh}) AS shingle
+            FROM {docs_source}
+        ),
+        ov AS (
+            SELECT d.doc_id, COUNT(*) AS c
+            FROM doc_sh d JOIN bench_sh b USING (shingle)
+            GROUP BY 1
+        )
+        SELECT u.doc_id,
+               CAST(COALESCE(ov.c, 0) AS BIGINT) AS overlap_shingles,
+               COALESCE(ov.c, 0) >= {min_overlap} AS contaminated
+        FROM (SELECT DISTINCT doc_id FROM {docs_source}) u
+        LEFT JOIN ov USING (doc_id)
+    """
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing
+# ---------------------------------------------------------------------------
+
+#: redaction patterns, deliberately backslash-free (identical literal
+#: text parses the same under Java regex and RE2 — no string-escape
+#: divergence between engines); applied in this fixed order
+PII_PATTERNS: dict[str, str] = {
+    "email": "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+",
+    "ipv4": "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}",
+    "phone": "[+]?[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}",
+}
+
+
+def scrub_pii(df: DataFrame, col: str = "text", out_col: str | None = None,
+              replacement: str = "[PII]") -> DataFrame:
+    """Adds ``<col>_scrubbed`` (emails / IPv4 addresses / phone-shaped
+    numbers replaced by ``replacement``) and ``n_redactions`` (total
+    per-pattern match count on the ORIGINAL text — overlapping patterns
+    each count, documented semantics shared with the DuckDB twin).
+    Pure codegen: chained regexp_replace + regexp_count."""
+    out_col = out_col or f"{col}_scrubbed"
+    scrubbed = F.col(col)
+    count = F.lit(0)
+    for pat in PII_PATTERNS.values():
+        count = count + F.expr(f"regexp_count({col}, '{pat}')")
+        scrubbed = F.regexp_replace(scrubbed, pat, replacement)
+    return (
+        df.withColumn(out_col, scrubbed)
+        .withColumn("n_redactions", count.cast("int"))
+    )
+
+
+def duckdb_scrub_pii_sql(col: str, source: str,
+                         replacement: str = "[PII]") -> str:
+    """Oracle twin of ``scrub_pii`` (DuckDB regexp_replace needs the
+    'g' flag to match Spark's replace-all semantics)."""
+    scrub = col
+    for pat in PII_PATTERNS.values():
+        scrub = f"regexp_replace({scrub}, '{pat}', '{replacement}', 'g')"
+    counts = " + ".join(
+        f"len(regexp_extract_all({col}, '{pat}'))"
+        for pat in PII_PATTERNS.values())
+    return f"""
+        SELECT *, {scrub} AS {col}_scrubbed,
+               CAST({counts} AS INT) AS n_redactions
+        FROM {source}
+    """

@@ -455,3 +455,68 @@ def test_clean_corpus_cluster_mode(spark):
     # survivor also survives the per-pair policy, while transitive
     # chains can make the per-pair policy keep extra docs
     assert clustered and clustered <= pairwise
+
+
+# ---------------------------------------------------------------------------
+# decontamination / PII scrubbing
+# ---------------------------------------------------------------------------
+
+def test_decontaminate_flags_planted_overlap(spark):
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today"),
+         (2, "completely unrelated text with no shared grams here at all"),
+         (3, "quick brown fox jumps over the lazy dog and then sleeps")],
+        "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(100, "a quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string")
+    got = {r.doc_id: (r.overlap_shingles, r.contaminated)
+           for r in textops.decontaminate(
+               docs, bench, k=4, min_overlap=2).collect()}
+    assert got[1][1] and got[3][1] and not got[2][1], got
+    assert got[2][0] == 0
+
+
+def test_decontaminate_matches_duckdb(spark, tmp_path):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    got = sorted(map(tuple, textops.decontaminate(
+        docs, docs.where("pmod(doc_id, 17) = 0"),
+        k=6, min_overlap=1).collect()))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF_DIR}/documents.parquet')")
+    want = sorted(map(tuple, con.sql(textops.duckdb_decontaminate_sql(
+        "text", 6, 1, "documents",
+        "(SELECT * FROM documents WHERE doc_id % 17 = 0)")).fetchall()))
+    assert got == want
+
+
+def test_scrub_pii_redacts_all_patterns(spark):
+    rows = [
+        (1, "mail me at alice.smith+x@sub.example.org please"),
+        (2, "server at 192.168.001.042 went down"),
+        (3, "call +1 555-123-4567 or 555 987-6543"),
+        (4, "nothing sensitive here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.text_scrubbed, r.n_redactions)
+           for r in textops.scrub_pii(df, "text").collect()}
+    assert "@" not in got[1][0] and got[1][1] == 1
+    assert "192.168" not in got[2][0] and got[2][1] == 1
+    assert got[3][0].count("[PII]") == 2 and got[3][1] == 2
+    assert got[4] == ("nothing sensitive here", 0)
+
+
+def test_scrub_pii_matches_duckdb(spark):
+    rows = [(i, t) for i, t in enumerate([
+        "alice@example.com and 10.0.0.1 and 555-123-4567",
+        "edge a@b.co end", "1.2.3.4", "+44 123-456-7890 x",
+        "plain text only", "two emails a@x.com b@y.org",
+    ])]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(map(tuple, textops.scrub_pii(df, "text").collect()))
+    con = duckdb.connect()
+    con.register("src", df.toPandas())
+    want = sorted(map(tuple, con.sql(
+        textops.duckdb_scrub_pii_sql("text", "src")).fetchall()))
+    assert got == want
