@@ -289,8 +289,8 @@ def main() -> None:
         "hll_url_cardinality", "countmin_url_freq",
         "bloom_url_membership", "bottomk_quantiles",
         "heavy_hitters", "hll_url_set_ops",
-        # crawl URL canonicalization (urls.py)
-        "url_normalize",
+        # crawl URL canonicalization + pipeline hygiene
+        "url_normalize", "scrub_pii", "decontaminate",
     ]
     qmap = entry_mod.queries()
     for name in fast_queries:
