@@ -520,3 +520,34 @@ def test_scrub_pii_matches_duckdb(spark):
     want = sorted(map(tuple, con.sql(
         textops.duckdb_scrub_pii_sql("text", "src")).fetchall()))
     assert got == want
+
+
+def test_connected_components_matches_union_find(spark):
+    """Randomized graphs (fixed seeds) vs an independent pure-Python
+    union-find oracle."""
+    import random
+
+    for seed in (7, 41, 1234):
+        rng = random.Random(seed)
+        n = 120
+        pairs = sorted({tuple(sorted(rng.sample(range(n), 2)))
+                        for _ in range(150)})
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        touched = {x for p in pairs for x in p}
+        want = {x: find(x) for x in touched}
+
+        pdf = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+        got = {r.node: r.component
+               for r in dedup.connected_components(pdf).collect()}
+        assert got == want, seed
