@@ -361,10 +361,15 @@ def main() -> None:
         timings[f"cqf_build_sharded_storage_{rows_built // 1_000_000}m"])
     spark.stop()
 
-    try:
-        scaling = _scaling_evidence()
-    except Exception as e:  # pragma: no cover
-        scaling = {"error": str(e)[:400]}
+    if os.environ.get("SPARK_GRAFT_SKIP_SCALING"):
+        # quick-validation mode: per-query timings only (the scaling
+        # protocol is ~25 min of fresh JVMs; skip when iterating)
+        scaling = {"skipped": True}
+    else:
+        try:
+            scaling = _scaling_evidence()
+        except Exception as e:  # pragma: no cover
+            scaling = {"error": str(e)[:400]}
 
     # headline value: the best MEDIAN throughput of the durable sharded
     # build across measured parallelism levels (this box's bandwidth
