@@ -497,6 +497,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # phone numbers; scrubbed text AND redaction counts are
         # value-exact oracle-checked
         "scrub_pii": _q_scrub_pii,
+        # Gopher-style within-document repetition signal
+        "repetition_stats": lambda s, d: textops.repetition_stats(
+            _docs(s, d), k=3),
     }
 
 
@@ -690,6 +693,8 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": textops.duckdb_decontaminate_sql(
             "text", 5, 2, "documents",
             "(SELECT * FROM documents WHERE doc_id % 29 = 0)"),
+        "repetition_stats": textops.duckdb_repetition_stats_sql(
+            "text", 3, "documents"),
         "scrub_pii": textops.duckdb_scrub_pii_sql(
             "text",
             f"""(SELECT doc_id,

@@ -403,3 +403,49 @@ def duckdb_scrub_pii_sql(col: str, source: str,
                CAST({counts} AS INT) AS n_redactions
         FROM {source}
     """
+
+
+# ---------------------------------------------------------------------------
+# within-document repetition (Gopher-style quality signal)
+# ---------------------------------------------------------------------------
+
+def repetition_stats(df: DataFrame, col: str = "text",
+                     k: int = 3) -> DataFrame:
+    """(doc_id, n_grams, distinct_grams, dup_gram_ratio) per document:
+    how internally repetitive the text is — the Gopher-class filter
+    signal (docs dominated by repeated n-grams are boilerplate/spam).
+    Pure codegen over the shingle array: dup_gram_ratio =
+    1 - distinct/total, rounded to 6 decimals (cross-engine float
+    rule); empty/short docs score 0."""
+    from .shingle import shingle_expr
+
+    sh = shingle_expr(col, k)
+    return df.select(
+        "doc_id",
+        F.expr(f"size({sh})").alias("n_grams"),
+        F.expr(f"size(array_distinct({sh}))").alias("distinct_grams"),
+    ).select(
+        "doc_id", "n_grams", "distinct_grams",
+        F.when(F.col("n_grams") > 0,
+               F.round(1.0 - F.col("distinct_grams") / F.col("n_grams"), 6))
+        .otherwise(F.lit(0.0)).alias("dup_gram_ratio"),
+    )
+
+
+def duckdb_repetition_stats_sql(col: str, k: int, source: str) -> str:
+    from .shingle import duckdb_shingle_sql
+
+    sh = duckdb_shingle_sql(col, k)
+    return f"""
+        WITH g AS (
+            SELECT doc_id, len({sh}) AS n_grams,
+                   len(list_distinct({sh})) AS distinct_grams
+            FROM {source}
+        )
+        SELECT doc_id, CAST(n_grams AS INT) AS n_grams,
+               CAST(distinct_grams AS INT) AS distinct_grams,
+               CASE WHEN n_grams > 0
+                    THEN round(1.0 - distinct_grams / CAST(n_grams AS DOUBLE), 6)
+                    ELSE 0.0 END AS dup_gram_ratio
+        FROM g
+    """

@@ -551,3 +551,23 @@ def test_connected_components_matches_union_find(spark):
         got = {r.node: r.component
                for r in dedup.connected_components(pdf).collect()}
         assert got == want, seed
+
+
+def test_repetition_stats_flags_repetitive_doc(spark):
+    df = spark.createDataFrame(
+        [(1, "buy now " * 30), (2, "a genuinely varied sentence with "
+                                  "many different words in it")],
+        "doc_id long, text string")
+    got = {r.doc_id: r.dup_gram_ratio
+           for r in textops.repetition_stats(df.selectExpr(
+               "doc_id", "trim(text) AS text")).collect()}
+    assert got[1] > 0.9 and got[2] == 0.0, got
+
+
+def test_repetition_stats_matches_duckdb(spark, docs, con):
+    _compare(
+        textops.repetition_stats(docs, k=4),
+        con.sql(textops.duckdb_repetition_stats_sql(
+            "text", 4, "documents")).df(),
+        ["doc_id"],
+    )
