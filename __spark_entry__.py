@@ -338,6 +338,18 @@ def _q_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV / theta-style set algebra over the same two crawl subsets as
+    the HLL entry: the Jaccard is estimated directly from the union's
+    k smallest hashes, so the intersection error tracks the true
+    Jaccard rather than the union size — all five values bit-exact."""
+    wp = synthesize(spark, sf_dir)
+    did = F.expr(
+        "CAST(regexp_extract(url, '([0-9]+)$', 1) AS BIGINT)")
+    return sketches.kmv_set_ops(
+        wp.where(did % 3 != 0), wp.where(did % 2 == 0), "url", k=128)
+
+
 def _q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Misra-Gries frequent users over the events stream: every true
     heavy hitter (count > n/(k+1)) must be present with its undercount
@@ -475,6 +487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tdigest_quantile_bounds": _q_quantile_bounds("tdigest"),
         "kll_quantile_bounds": _q_quantile_bounds("kll"),
         "hll_url_set_ops": _q_hll_set_ops,
+        "kmv_url_set_ops": _q_kmv_set_ops,
         "heavy_hitters": _q_heavy_hitters,
         "url_normalize": _q_url_normalize,
         "ams_f2": _q_ams_f2,
@@ -677,6 +690,16 @@ def oracle_sql() -> dict[str, str]:
             sketches.duckdb_quantile_bound_sql(_SKETCH_QS),
         "kll_quantile_bounds":
             sketches.duckdb_quantile_bound_sql(_SKETCH_QS),
+        "kmv_url_set_ops": f"""
+            WITH wp AS ({wp}),
+            res AS ({sketches.duckdb_kmv_set_ops_sql(
+                "url", 128,
+                "(SELECT url FROM wp WHERE CAST(regexp_extract(url, "
+                "'([0-9]+)$', 1) AS BIGINT) % 3 != 0)",
+                "(SELECT url FROM wp WHERE CAST(regexp_extract(url, "
+                "'([0-9]+)$', 1) AS BIGINT) % 2 = 0)")})
+            SELECT * FROM res
+        """,
         "hll_url_set_ops": f"""
             WITH wp AS ({wp})
             {sketches.duckdb_hll_set_ops_sql(

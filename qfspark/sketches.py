@@ -18,6 +18,9 @@ UDAF shape that makes 10^12-row builds shuffle-light:
                        row-wise sum-merge; estimate deterministic)
 * HLL set algebra    — union via register merge, intersection via
                        inclusion-exclusion (deterministic estimates)
+* KMV / theta        — distinct count + set algebra from the k
+                       smallest distinct-key hashes (direct Jaccard;
+                       min-k-merge == rebuild)
 * t-digest           — streaming quantiles (centroid merge, Python
                        kernel over mapInPandas partials)
 * KLL                — compactor-based quantiles (level merge, Python
@@ -1172,3 +1175,125 @@ def read_sketch(spark, path: str) -> DataFrame:
 
     return read_table(spark, path).drop(
         "sketch_kind", "build_ts", "code_version")
+
+
+# ===========================================================================
+# KMV / theta-style set operations (bottom-k of distinct-key hashes)
+# ===========================================================================
+
+#: 2^HASH_BITS as an exact double literal shared by both engines
+_KMV_RANGE = float(1 << HASH_BITS)
+
+
+def kmv_sketch(df: DataFrame, col: str, k: int = 256,
+               hash_scheme: str = "hash60") -> DataFrame:
+    """(h) rows: the k smallest 60-bit hashes of the DISTINCT keys —
+    the KMV / theta sketch (Bar-Yossef et al. 2002; the estimator
+    behind the theta-sketch family). Executes as distinct + TakeOrdered
+    (per-partition top-k, k-sized driver merge, no full sort).
+
+    Merge = bottom-k of the union of sketches — exact, so merge ==
+    rebuild row-identically like the other SQL-expressible sketches."""
+    h = sketch_hash(col, hash_scheme)
+    return (
+        df.where(F.col(col).isNotNull())
+        .select(F.expr(h).alias("h")).distinct()
+        .orderBy("h").limit(k)
+    )
+
+
+def kmv_merge(a: DataFrame, b: DataFrame, k: int = 256) -> DataFrame:
+    return a.unionByName(b).distinct().orderBy("h").limit(k)
+
+
+def _kmv_est(sketch: DataFrame, k: int, out: str) -> DataFrame:
+    """One row (<out>): (k-1)/h_k scaled to the hash range, or the
+    exact distinct count when the sketch holds fewer than k hashes."""
+    return sketch.agg(
+        F.count(F.lit(1)).alias("_n"), F.max("h").alias("_hk")
+    ).select(
+        F.round(
+            F.when(F.col("_n") < k, F.col("_n").cast("double"))
+            .otherwise(F.lit(float(k - 1)) * F.lit(_KMV_RANGE)
+                       / F.col("_hk")),
+            1,
+        ).alias(out)
+    )
+
+
+def kmv_set_ops(a_df: DataFrame, b_df: DataFrame, col: str,
+                k: int = 256, hash_scheme: str = "hash60") -> DataFrame:
+    """One row (est_a, est_b, est_union, jaccard, est_intersection):
+    KMV distinct counts plus theta-sketch-style set algebra — the
+    Jaccard is estimated DIRECTLY (fraction of the union's k smallest
+    hashes present in both input sketches), so the intersection
+    estimate degrades with the true Jaccard rather than with the union
+    size (the weakness of HLL inclusion-exclusion, ``hll_set_ops``).
+    All five values deterministic; DuckDB reproduces them bit-for-bit."""
+    sa = kmv_sketch(a_df, col, k, hash_scheme)
+    sb = kmv_sketch(b_df, col, k, hash_scheme)
+    merged = kmv_merge(sa, sb, k)
+    match = (
+        merged.join(sa, "h", "left_semi").join(sb, "h", "left_semi")
+        .agg(F.count(F.lit(1)).alias("_m"))
+    )
+    msize = merged.agg(F.count(F.lit(1)).alias("_ms"))
+    return (
+        _kmv_est(sa, k, "est_a")
+        .crossJoin(_kmv_est(sb, k, "est_b"))
+        .crossJoin(_kmv_est(merged, k, "est_union"))
+        .crossJoin(match).crossJoin(msize)
+        .select(
+            "est_a", "est_b", "est_union",
+            F.round(F.col("_m") / F.col("_ms"), 6).alias("jaccard"),
+            F.round(
+                F.round(F.col("_m") / F.col("_ms"), 6)
+                * F.col("est_union"), 1
+            ).alias("est_intersection"),
+        )
+    )
+
+
+def duckdb_kmv_set_ops_sql(col: str, k: int, source_a: str,
+                           source_b: str) -> str:
+    """Oracle twin of ``kmv_set_ops``."""
+    h = duckdb_hash60(col)
+    rng = repr(_KMV_RANGE)
+
+    def est(cte: str, out: str) -> str:
+        return f"""(
+            SELECT round(CASE WHEN COUNT(*) < {k}
+                         THEN CAST(COUNT(*) AS DOUBLE)
+                         ELSE {float(k - 1)!r} * {rng} / MAX(h) END, 1)
+                       AS {out}
+            FROM {cte})"""
+
+    return f"""
+        WITH sa AS (
+            SELECT DISTINCT {h} AS h FROM {source_a}
+            WHERE {col} IS NOT NULL ORDER BY h LIMIT {k}
+        ),
+        sb AS (
+            SELECT DISTINCT {h} AS h FROM {source_b}
+            WHERE {col} IS NOT NULL ORDER BY h LIMIT {k}
+        ),
+        merged AS (
+            SELECT h FROM (SELECT h FROM sa UNION SELECT h FROM sb)
+            ORDER BY h LIMIT {k}
+        ),
+        mstats AS (
+            SELECT COUNT(*) AS ms,
+                   SUM(CASE WHEN h IN (SELECT h FROM sa)
+                            AND h IN (SELECT h FROM sb)
+                       THEN 1 ELSE 0 END) AS m
+            FROM merged
+        )
+        SELECT ea.est_a, eb.est_b, eu.est_union,
+               round(m / CAST(ms AS DOUBLE), 6) AS jaccard,
+               round(round(m / CAST(ms AS DOUBLE), 6) * eu.est_union, 1)
+                   AS est_intersection
+        FROM {est('sa', 'est_a')} ea,
+             {est('sb', 'est_b')} eb,
+             {est('merged', 'est_union')} eu,
+             mstats
+    """

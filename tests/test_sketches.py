@@ -501,3 +501,51 @@ def test_xxhash_scheme_merge_equals_rebuild(spark):
 def test_unknown_hash_scheme_raises(spark):
     with pytest.raises(ValueError, match="hash scheme"):
         sketches.sketch_hash("key", "md5")
+
+
+# ---------------------------------------------------------------------------
+# KMV / theta-style set operations
+# ---------------------------------------------------------------------------
+
+def test_kmv_set_ops_accuracy(spark):
+    a = _keys(spark, 8000)
+    b = spark.range(4000, 12000).selectExpr("concat('k', id) AS key")
+    row = sketches.kmv_set_ops(a, b, "key", k=512).collect()[0]
+    assert abs(row.est_union - 12000) / 12000 < 0.15
+    assert abs(row.jaccard - 1 / 3) < 0.1
+    # the KMV intersection tracks the true Jaccard, not the union size
+    assert abs(row.est_intersection - 4000) / 4000 < 0.3
+
+
+def test_kmv_merge_equals_rebuild(spark):
+    df = _keys(spark, 5000)
+    a = sketches.kmv_sketch(df.where("hash(key) % 2 = 0"), "key", 256)
+    b = sketches.kmv_sketch(df.where("hash(key) % 2 != 0"), "key", 256)
+    whole = sketches.kmv_sketch(df, "key", 256)
+    assert sorted(r.h for r in sketches.kmv_merge(a, b, 256).collect()) \
+        == sorted(r.h for r in whole.collect())
+
+
+def test_kmv_small_set_is_exact(spark):
+    row = sketches.kmv_set_ops(
+        _keys(spark, 50), _keys(spark, 30), "key", k=256).collect()[0]
+    assert (row.est_a, row.est_b, row.est_union) == (50.0, 30.0, 50.0)
+    assert row.est_intersection == 30.0 and row.jaccard == 0.6
+
+
+def test_kmv_matches_duckdb(spark, tmp_path):
+    import duckdb
+
+    a = _keys(spark, 3000)
+    b = spark.range(1000, 4000).selectExpr("concat('k', id) AS key")
+    pa_, pb = str(tmp_path / "a.parquet"), str(tmp_path / "b.parquet")
+    a.toPandas().to_parquet(pa_)
+    b.toPandas().to_parquet(pb)
+    got = sketches.kmv_set_ops(a, b, "key", k=200).collect()[0]
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW sa_src AS SELECT * FROM read_parquet('{pa_}')")
+    con.execute(f"CREATE VIEW sb_src AS SELECT * FROM read_parquet('{pb}')")
+    want = con.sql(sketches.duckdb_kmv_set_ops_sql(
+        "key", 200, "sa_src", "sb_src")).fetchone()
+    assert (got.est_a, got.est_b, got.est_union, got.jaccard,
+            got.est_intersection) == want
