@@ -338,6 +338,25 @@ def _q_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_hll_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language distinct-url rollup (one grouped-HLL pass) joined
+    with the exact per-language count — estimates bit-exact, plus the
+    3-sigma bound as a checked column."""
+    wp = synthesize(spark, sf_dir)
+    est = sketches.hll_cardinality_by(wp, "url", ["lang"], p=10)
+    exact = wp.groupBy("lang").agg(
+        F.countDistinct("url").cast("long").alias("exact_distinct"))
+    bound = sketches.hll_error_bound(10, sigmas=3.0)
+    return (
+        est.join(exact, "lang")
+        .withColumn(
+            "rel_err",
+            F.round(F.abs(F.col("estimate") - F.col("exact_distinct"))
+                    / F.col("exact_distinct"), 4))
+        .withColumn("within_bound", F.col("rel_err") <= F.lit(bound))
+    )
+
+
 def _q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV / theta-style set algebra over the same two crawl subsets as
     the HLL entry: the Jaccard is estimated directly from the union's
@@ -488,6 +507,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kll_quantile_bounds": _q_quantile_bounds("kll"),
         "hll_url_set_ops": _q_hll_set_ops,
         "kmv_url_set_ops": _q_kmv_set_ops,
+        # grouped rollup: one HLL per language in a single pass, next
+        # to the exact per-group distinct count
+        "hll_by_lang": _q_hll_by_lang,
         "heavy_hitters": _q_heavy_hitters,
         "url_normalize": _q_url_normalize,
         "ams_f2": _q_ams_f2,
@@ -690,6 +712,24 @@ def oracle_sql() -> dict[str, str]:
             sketches.duckdb_quantile_bound_sql(_SKETCH_QS),
         "kll_quantile_bounds":
             sketches.duckdb_quantile_bound_sql(_SKETCH_QS),
+        "hll_by_lang": f"""
+            WITH wp AS ({wp}),
+            est AS ({sketches.duckdb_hll_by_sql("url", ["lang"], 10, "wp")}),
+            exact AS (
+                SELECT lang, CAST(COUNT(DISTINCT url) AS BIGINT)
+                       AS exact_distinct
+                FROM wp GROUP BY lang
+            )
+            SELECT e.lang, e.nonempty_buckets, e.zero_buckets,
+                   e.sum_scaled, e.estimate, x.exact_distinct,
+                   round(abs(e.estimate - x.exact_distinct)
+                         / x.exact_distinct, 4) AS rel_err,
+                   round(abs(e.estimate - x.exact_distinct)
+                         / x.exact_distinct, 4)
+                       <= {sketches.hll_error_bound(10, 3.0)!r}
+                       AS within_bound
+            FROM est e JOIN exact x USING (lang)
+        """,
         "kmv_url_set_ops": f"""
             WITH wp AS ({wp}),
             res AS ({sketches.duckdb_kmv_set_ops_sql(

@@ -214,6 +214,123 @@ def hll_cardinality(df: DataFrame, col: str, p: int = 12,
     return hll_estimate(hll_registers(df, col, p, hash_scheme), p)
 
 
+def hll_registers_by(df: DataFrame, col: str, by: list[str],
+                     p: int = 12,
+                     hash_scheme: str = "hash60") -> DataFrame:
+    """(by..., bucket, rho_max) grouped register tables: one HLL per
+    distinct ``by`` combination in a single pass — the rollup shape
+    (per-language / per-domain distinct counts) a 10^12-row pipeline
+    wants instead of one job per group. Same single map-side-partial
+    groupBy, now keyed (by..., bucket); merge is groupBy-max over the
+    same keys."""
+    if not by:
+        raise ValueError("by must name at least one grouping column")
+    m = 1 << p
+    w_bits = HASH_BITS - p
+    h = sketch_hash(col, hash_scheme)
+    return (
+        df.where(F.col(col).isNotNull())
+        .select(*by, F.expr(h).alias("_h"))
+        .select(
+            *by,
+            F.expr(f"CAST(pmod(_h, {m}) AS INT)").alias("bucket"),
+            F.expr(f"shiftrightunsigned(_h, {p})").alias("_w"),
+        )
+        .select(
+            *by, "bucket",
+            F.expr(
+                f"CAST(CASE WHEN _w = 0 THEN {w_bits + 1} "
+                f"ELSE {w_bits} - length(bin(_w)) + 1 END AS INT)"
+            ).alias("rho"),
+        )
+        .groupBy(*by, "bucket")
+        .agg(F.max("rho").alias("rho_max"))
+    )
+
+
+def hll_estimate_by(register_df: DataFrame, by: list[str],
+                    p: int) -> DataFrame:
+    """(by..., estimate) per group — identical exact-int64 arithmetic
+    to ``hll_estimate``, applied per grouping key."""
+    m = 1 << p
+    k_max = (HASH_BITS - p) + 1
+    numer = _hll_alpha(m) * m * m * (2.0 ** k_max)
+    agg = register_df.groupBy(*by).agg(
+        F.count(F.lit(1)).cast("int").alias("_ne"),
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {k_max} - rho_max)"))
+        .cast("long").alias("_s"),
+    ).select(
+        *by,
+        F.col("_ne").alias("nonempty_buckets"),
+        (F.lit(m) - F.col("_ne")).cast("int").alias("zero_buckets"),
+        (F.col("_s") + (F.lit(m) - F.col("_ne")) * F.lit(1 << k_max))
+        .cast("long").alias("sum_scaled"),
+    )
+    return agg.select(
+        *by, "nonempty_buckets", "zero_buckets", "sum_scaled",
+        F.round(
+            F.when(
+                (F.lit(numer) / F.col("sum_scaled") <= 2.5 * m)
+                & (F.col("zero_buckets") > 0),
+                F.lit(float(m)) * F.log(F.lit(float(m))
+                                        / F.col("zero_buckets")),
+            ).otherwise(F.lit(numer) / F.col("sum_scaled")),
+            1,
+        ).alias("estimate"),
+    )
+
+
+def hll_cardinality_by(df: DataFrame, col: str, by: list[str],
+                       p: int = 12,
+                       hash_scheme: str = "hash60") -> DataFrame:
+    """Grouped distinct-count rollup in one pass."""
+    return hll_estimate_by(
+        hll_registers_by(df, col, by, p, hash_scheme), by, p)
+
+
+def duckdb_hll_by_sql(col: str, by: list[str], p: int,
+                      source: str) -> str:
+    """Oracle twin of ``hll_cardinality_by``."""
+    m = 1 << p
+    w_bits = HASH_BITS - p
+    k_max = w_bits + 1
+    numer = repr(_hll_alpha(m) * m * m * (2.0 ** k_max))
+    h = duckdb_hash60(col)
+    bys = ", ".join(by)
+    return f"""
+        WITH hashed AS (
+            SELECT {bys}, {h} AS h FROM {source}
+            WHERE {col} IS NOT NULL
+        ),
+        rho AS (
+            SELECT {bys}, CAST(h % {m} AS INT) AS bucket,
+                   CAST(CASE WHEN (h >> {p}) = 0 THEN {w_bits + 1}
+                        ELSE {w_bits} - length(bin(h >> {p})) + 1
+                        END AS INT) AS rho
+            FROM hashed
+        ),
+        regs AS (
+            SELECT {bys}, bucket, MAX(rho) AS rho_max
+            FROM rho GROUP BY {bys}, bucket
+        ),
+        agg AS (
+            SELECT {bys},
+                   CAST(COUNT(*) AS INT) AS nonempty_buckets,
+                   CAST({m} - COUNT(*) AS INT) AS zero_buckets,
+                   CAST(SUM(1::BIGINT << ({k_max} - rho_max))
+                        + ({m} - COUNT(*)) * (1::BIGINT << {k_max})
+                        AS BIGINT) AS sum_scaled
+            FROM regs GROUP BY {bys}
+        )
+        SELECT {bys}, nonempty_buckets, zero_buckets, sum_scaled,
+               round(CASE WHEN {numer} / sum_scaled <= {2.5 * m}
+                          AND zero_buckets > 0
+                     THEN {float(m)} * ln({float(m)} / zero_buckets)
+                     ELSE {numer} / sum_scaled END, 1) AS estimate
+        FROM agg
+    """
+
+
 def hll_set_ops(a_df: DataFrame, b_df: DataFrame, col: str,
                 p: int = 12) -> DataFrame:
     """One row (est_a, est_b, est_union, est_intersection): distinct

@@ -549,3 +549,43 @@ def test_kmv_matches_duckdb(spark, tmp_path):
         "key", 200, "sa_src", "sb_src")).fetchone()
     assert (got.est_a, got.est_b, got.est_union, got.jaccard,
             got.est_intersection) == want
+
+
+# ---------------------------------------------------------------------------
+# grouped HLL rollup
+# ---------------------------------------------------------------------------
+
+def test_hll_by_group_accuracy_and_merge(spark):
+    df = spark.range(30000).selectExpr(
+        "concat('g', pmod(id, 3)) AS grp", "concat('k', id) AS key")
+    est = {r.grp: r.estimate for r in sketches.hll_cardinality_by(
+        df, "key", ["grp"], p=11).collect()}
+    assert len(est) == 3
+    for g, e in est.items():
+        assert abs(e - 10000) / 10000 <= hll_error_bound(11, 4.0), (g, e)
+    # grouped merge == grouped rebuild, row-identically
+    a = sketches.hll_registers_by(
+        df.where("id % 2 = 0"), "key", ["grp"], p=11)
+    b = sketches.hll_registers_by(
+        df.where("id % 2 != 0"), "key", ["grp"], p=11)
+    merged = (a.unionByName(b).groupBy("grp", "bucket")
+              .agg(F.max("rho_max").alias("rho_max")))
+    whole = sketches.hll_registers_by(df, "key", ["grp"], p=11)
+    assert sorted(map(tuple, merged.collect())) == \
+        sorted(map(tuple, whole.collect()))
+
+
+def test_hll_by_group_matches_duckdb(spark, tmp_path):
+    import duckdb
+
+    df = spark.range(5000).selectExpr(
+        "concat('g', pmod(id, 4)) AS grp", "concat('k', id) AS key")
+    p = str(tmp_path / "grp.parquet")
+    df.toPandas().to_parquet(p)
+    got = sorted(map(tuple, sketches.hll_cardinality_by(
+        df, "key", ["grp"], p=9).collect()))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW src AS SELECT * FROM read_parquet('{p}')")
+    want = sorted(map(tuple, con.sql(sketches.duckdb_hll_by_sql(
+        "key", ["grp"], 9, "src")).fetchall()))
+    assert got == want
