@@ -510,6 +510,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # grouped rollup: one HLL per language in a single pass, next
         # to the exact per-group distinct count
         "hll_by_lang": _q_hll_by_lang,
+        # per-language doc-length quantiles from a grouped bottom-k
+        # sample (deterministic sample -> estimates bit-exact)
+        "quantiles_by_lang": lambda s, d: sketches.bottomk_quantiles_by(
+            sketches.bottomk_sketch_by(
+                _docs(s, d).select(
+                    F.col("doc_id").cast("string").alias("k"),
+                    F.length("text").cast("double").alias("v"),
+                    "lang"),
+                "k", "v", ["lang"], k=128),
+            ["lang"], _SKETCH_QS),
         "heavy_hitters": _q_heavy_hitters,
         "url_normalize": _q_url_normalize,
         "ams_f2": _q_ams_f2,
@@ -730,6 +740,10 @@ def oracle_sql() -> dict[str, str]:
                        AS within_bound
             FROM est e JOIN exact x USING (lang)
         """,
+        "quantiles_by_lang": sketches.duckdb_bottomk_quantiles_by_sql(
+            "k", "v", ["lang"], 128, _SKETCH_QS,
+            "(SELECT CAST(doc_id AS VARCHAR) AS k, "
+            "CAST(length(text) AS DOUBLE) AS v, lang FROM documents)"),
         "kmv_url_set_ops": f"""
             WITH wp AS ({wp}),
             res AS ({sketches.duckdb_kmv_set_ops_sql(

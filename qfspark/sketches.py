@@ -1414,3 +1414,80 @@ def duckdb_kmv_set_ops_sql(col: str, k: int, source_a: str,
              {est('merged', 'est_union')} eu,
              mstats
     """
+
+
+# ===========================================================================
+# grouped bottom-k rollup (per-group samples / quantiles)
+# ===========================================================================
+
+def bottomk_sketch_by(df: DataFrame, key_col: str, value_col: str,
+                      by: list[str], k: int = 512,
+                      hash_scheme: str = "hash60") -> DataFrame:
+    """(by..., h, key, value) per-group bottom-k sample: the k
+    hash-smallest keys of EVERY ``by`` combination in one pass (window
+    row_number per group — one shuffle keyed by the group columns; the
+    grouped analogue of ``bottomk_sketch``'s TakeOrdered). Merge:
+    union + re-apply (min-k per group, exact)."""
+    from pyspark.sql import Window
+
+    if not by:
+        raise ValueError("by must name at least one grouping column")
+    w = Window.partitionBy(*by).orderBy("h", "key")
+    return (
+        df.where(F.col(key_col).isNotNull())
+        .select(
+            *by,
+            F.expr(sketch_hash(key_col, hash_scheme)).alias("h"),
+            F.col(key_col).alias("key"),
+            F.col(value_col).alias("value"),
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def bottomk_quantiles_by(sketch_df: DataFrame, by: list[str],
+                         qs: list[float]) -> DataFrame:
+    """(by..., q, est_value) per-group quantile estimates with the same
+    explicit lower-interpolation rank arithmetic as
+    ``bottomk_quantiles``."""
+    qlit = ", ".join(f"CAST({float(q)!r} AS DOUBLE)" for q in qs)
+    return (
+        sketch_df.groupBy(*by)
+        .agg(F.expr("sort_array(collect_list(CAST(value AS DOUBLE)))")
+             .alias("vals"))
+        .select(*by, F.explode(F.expr(f"array({qlit})")).alias("q"),
+                "vals")
+        .select(
+            *by, "q",
+            F.expr("vals[CAST(floor(q * (size(vals) - 1)) AS INT)]")
+            .alias("est_value"),
+        )
+    )
+
+
+def duckdb_bottomk_quantiles_by_sql(key_col: str, value_col: str,
+                                    by: list[str], k: int,
+                                    qs: list[float], source: str) -> str:
+    h = duckdb_hash60(key_col)
+    bys = ", ".join(by)
+    qlit = ", ".join(f"CAST({float(q)!r} AS DOUBLE)" for q in qs)
+    return f"""
+        WITH ranked AS (
+            SELECT {bys}, {h} AS h, {key_col} AS key,
+                   CAST({value_col} AS DOUBLE) AS value,
+                   row_number() OVER (PARTITION BY {bys}
+                                      ORDER BY {h}, {key_col}) AS rn
+            FROM {source} WHERE {key_col} IS NOT NULL
+        ),
+        sk AS (SELECT * FROM ranked WHERE rn <= {k}),
+        vals AS (
+            SELECT {bys}, list_sort(list(value)) AS vals
+            FROM sk GROUP BY {bys}
+        )
+        SELECT {bys}, q,
+               vals[CAST(floor(q * (len(vals) - 1)) AS INT) + 1]
+                   AS est_value
+        FROM vals, unnest([{qlit}]) AS t(q)
+    """

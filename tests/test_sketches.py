@@ -589,3 +589,35 @@ def test_hll_by_group_matches_duckdb(spark, tmp_path):
     want = sorted(map(tuple, con.sql(sketches.duckdb_hll_by_sql(
         "key", ["grp"], 9, "src")).fetchall()))
     assert got == want
+
+
+def test_bottomk_by_merge_and_rank_error(spark):
+    df = spark.range(20000).selectExpr(
+        "concat('g', pmod(id, 2)) AS grp",
+        "concat('k', id) AS k",
+        "CAST(pmod(id * 48271, 65537) AS DOUBLE) AS v")
+    sk = sketches.bottomk_sketch_by(df, "k", "v", ["grp"], k=512)
+    # per-group size == k
+    sizes = {r.grp: r.cnt for r in
+             sk.groupBy("grp").agg(F.count("*").alias("cnt")).collect()}
+    assert sizes == {"g0": 512, "g1": 512}
+    # merge (union + re-apply) == rebuild per group
+    a = sketches.bottomk_sketch_by(
+        df.where("id % 3 = 0"), "k", "v", ["grp"], k=512)
+    b = sketches.bottomk_sketch_by(
+        df.where("id % 3 != 0"), "k", "v", ["grp"], k=512)
+    remerged = sketches.bottomk_sketch_by(
+        a.unionByName(b).select("grp", F.col("key").alias("k"),
+                                F.col("value").alias("v")),
+        "k", "v", ["grp"], k=512)
+    assert sorted(map(tuple, remerged.collect())) == \
+        sorted(map(tuple, sk.collect()))
+    # rank error of per-group sample quantiles within ~4/sqrt(k)
+    est = {(r.grp, r.q): r.est_value for r in
+           sketches.bottomk_quantiles_by(sk, ["grp"], [0.5]).collect()}
+    exact = {r.grp: r.m for r in
+             df.groupBy("grp").agg(
+                 F.expr("percentile(v, 0.5)").alias("m")).collect()}
+    for g in ("g0", "g1"):
+        rel = abs(est[(g, 0.5)] - exact[g]) / 65537.0
+        assert rel <= 4.0 / (512 ** 0.5), (g, est[(g, 0.5)], exact[g])
