@@ -1157,12 +1157,20 @@ def _mg_finalize(unioned: DataFrame, k: int) -> DataFrame:
     return kept.unionByName(sentinel)
 
 
-def mg_summary(df: DataFrame, col: str, k: int = 256) -> DataFrame:
+def mg_summary(df: DataFrame, col: str, k: int = 256,
+               weight_col: str | None = None) -> DataFrame:
     """Misra-Gries frequent-items summary of ``col`` with k counters.
 
     Every key whose true count exceeds n/(k+1) is guaranteed present;
     estimates under-count by at most the summary's ``err`` (sentinel
-    row), itself <= n/(k+1)."""
+    row), itself <= n/(k+1).
+
+    With ``weight_col`` (non-negative integer weights — e.g. bytes per
+    page), counts become weight sums: the guarantee is the weighted
+    form, every key with total weight > W/(k+1) present, err <=
+    W/(k+1) for W total weight. The prune accounting is identical —
+    subtracting t from >= k+1 weighted counters removes >= (k+1)*t of
+    the W mass that entered."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
 
@@ -1171,7 +1179,14 @@ def mg_summary(df: DataFrame, col: str, k: int = 256) -> DataFrame:
     def _partial(batches):
         counts = None
         for b in batches:
-            vc = b["item"].dropna().value_counts()
+            if weight_col is None:
+                vc = b["item"].dropna().value_counts()
+            else:
+                sub = b.dropna(subset=["item"])
+                if (sub["w"] < 0).any():
+                    raise ValueError(
+                        "mg_summary weights must be non-negative")
+                vc = sub.groupby("item")["w"].sum()
             counts = vc if counts is None else counts.add(vc, fill_value=0)
         if counts is None or counts.empty:
             return
@@ -1191,9 +1206,12 @@ def mg_summary(df: DataFrame, col: str, k: int = 256) -> DataFrame:
             pd.DataFrame({"item": [None], "est": [0], "err": [t]}),
         ])
 
+    cols = [F.col(col).cast("string").alias("item")]
+    if weight_col is not None:
+        cols.append(F.col(weight_col).cast("long").alias("w"))
     partials = (
         df.where(F.col(col).isNotNull())
-        .select(F.col(col).cast("string").alias("item"))
+        .select(*cols)
         .mapInPandas(_partial, "item string, est long, err long")
     )
     return _mg_finalize(partials, k)

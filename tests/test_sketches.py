@@ -621,3 +621,33 @@ def test_bottomk_by_merge_and_rank_error(spark):
     for g in ("g0", "g1"):
         rel = abs(est[(g, 0.5)] - exact[g]) / 65537.0
         assert rel <= 4.0 / (512 ** 0.5), (g, est[(g, 0.5)], exact[g])
+
+
+def test_mg_weighted_guarantee(spark):
+    """Weighted heavy hitters (e.g. bytes per key): the W/(k+1)
+    guarantee holds for weight sums."""
+    df = spark.range(300).selectExpr(
+        "concat('k', pmod(id, 60)) AS key",
+        # key k0 carries huge weight, others small
+        "CASE WHEN pmod(id, 60) = 0 THEN 5000 ELSE id % 17 END AS bytes"
+    ).repartition(6)
+    true = {r.key: r.w for r in df.groupBy("key").agg(
+        F.sum("bytes").alias("w")).collect()}
+    W = sum(true.values())
+    k = 8
+    sk = sketches.mg_summary(df, "key", k, weight_col="bytes").cache()
+    est = {r.item: r.est for r in sk.collect() if r.item is not None}
+    err = sketches.mg_error(sk).first().err
+    assert len(est) <= k and err * (k + 1) <= W
+    for key, w in true.items():
+        e = est.get(key, 0)
+        assert e <= w <= e + err, (key, e, w, err)
+        if w * (k + 1) > W:
+            assert key in est, key
+    assert "k0" in est  # the planted byte-heavy key surfaces
+
+
+def test_mg_weighted_rejects_negative(spark):
+    df = spark.createDataFrame([("a", -1)], "key string, w long")
+    with pytest.raises(Exception, match="non-negative"):
+        sketches.mg_summary(df, "key", 4, weight_col="w").collect()
