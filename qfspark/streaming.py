@@ -154,6 +154,8 @@ def stream_sketch(
     * ``kind='bloom'`` (params: m_bits, k) — running membership bits
     * ``kind='bottomk'`` (params: value_col, k) — running uniform
       key-sample (quantiles/sampling over the stream so far)
+    * ``kind='kmv'`` (params: k) — running theta sketch (distinct
+      count + set algebra via ``sketches.kmv_set_ops``)
 
     Per micro-batch: build the batch's partial sketch, merge it into the
     checkpointed table (max/sum/union — each merge == rebuild exactly,
@@ -192,6 +194,12 @@ def stream_sketch(
                 params.get("k", 512), hash_scheme=scheme),
             lambda a, b: sketches.bottomk_merge(
                 a, b, params.get("k", 512)),
+        ),
+        "kmv": (
+            lambda df: sketches.kmv_sketch(
+                df, col, params.get("k", 256), hash_scheme=scheme),
+            lambda a, b: sketches.kmv_merge(
+                a, b, params.get("k", 256)),
         ),
     }
     if kind not in builders:

@@ -158,6 +158,16 @@ def main():
     check("MG threshold is an order-limit", p11,
           r"TakeOrderedAndProject|CollectLimit")
 
+    # 11b. grouped rollups: partial aggregation map-side, no Python
+    p11b = plan_of(sketches.hll_cardinality_by(wp, "url", ["lang"], 10))
+    check("grouped HLL agg is partial", p11b, r"partial_max|partial")
+    check("grouped HLL has no Python", p11b, r"EvalPython",
+          must_exist=False)
+    # KMV sketch executes as TakeOrdered (never a full sort)
+    p11c = plan_of(sketches.kmv_sketch(wp, "url", 256))
+    check("KMV bottom-k is TakeOrdered", p11c,
+          r"TakeOrderedAndProject")
+
     # 12. URL canonicalization stays in whole-stage codegen
     from qfspark import urls
 

@@ -246,6 +246,7 @@ def test_stateful_dedup_counter_parity_across_branches(spark):
     ("countmin", {"depth": 3, "width": 256}),
     ("bloom", {"m_bits": 1 << 14, "k": 3}),
     ("bottomk", {"value_col": "user", "k": 64}),
+    ("kmv", {"k": 64}),
 ])
 def test_stream_sketch_matches_batch(spark, kind, params):
     """After N micro-batches the streaming sketch table is ROW-IDENTICAL
@@ -279,6 +280,8 @@ def test_stream_sketch_matches_batch(spark, kind, params):
             want = sketches.countmin_table(ev, "user", **params)
         elif kind == "bloom":
             want = sketches.bloom_bits(ev, "user", **params)
+        elif kind == "kmv":
+            want = sketches.kmv_sketch(ev, "user", params["k"])
         else:
             want = sketches.bottomk_sketch(
                 ev, "user", params["value_col"], params["k"])
