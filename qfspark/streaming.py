@@ -38,7 +38,10 @@ def _merge_shard_tables(spark, existing_path: str, new_df: DataFrame,
     import pandas as pd
 
     existing = spark.read.parquet(existing_path)
-    both = existing.unionByName(new_df)
+    # allowMissingColumns: a state dir written by an older qfspark lacks
+    # later lineage columns (e.g. build_secs, added in 0.3.0) — nulls
+    # fill the gap and the merged row keeps the superset schema
+    both = existing.unionByName(new_df, allowMissingColumns=True)
 
     def _merge(pdf: pd.DataFrame) -> pd.DataFrame:
         from .build import shard_payload_bytes
@@ -54,12 +57,69 @@ def _merge_shard_tables(spark, existing_path: str, new_df: DataFrame,
         row["q_bits"] = merged.q_bits
         row["n_rows"] = int(pdf["n_rows"].sum())
         if "build_secs" in row.index:
-            row["build_secs"] = float(pdf["build_secs"].sum())
+            # old-state rows contribute null after the permissive union
+            row["build_secs"] = float(pdf["build_secs"].fillna(0.0).sum())
         return pd.DataFrame([row])
 
-    schema = existing.schema
-    merged_df = both.groupBy("shard").applyInPandas(_merge, schema=schema)
+    # the permissive union's (superset) schema, not the old table's
+    merged_df = both.groupBy("shard").applyInPandas(_merge, schema=both.schema)
     merged_df.write.mode("overwrite").parquet(out_path)
+
+
+# -- shared micro-batch commit protocol -------------------------------------
+#
+# Processed batch ids live INSIDE the committed directory (underscore
+# prefix: ignored by parquet readers, like _SUCCESS) and are written
+# LAST into <name>_next, so the ids file doubles as the completeness
+# marker. The swap is two renames (table -> <name>_old, next -> table);
+# a crash between them leaves no table directory, which `_recover_table`
+# repairs on the next call: a COMPLETE <name>_next (marker present) is
+# the newer state and finishes the swap forward; otherwise <name>_old
+# rolls back. Local-filesystem semantics; a lakehouse deployment gets
+# the same atomicity from Iceberg transactional commits (sources.py).
+
+_IDS = "_batch_ids.json"
+
+
+def _recover_table(state_path: str, name: str) -> None:
+    """Finish (or roll back) an interrupted two-rename swap of
+    ``<state_path>/<name>``; afterwards clean any leftovers."""
+    import shutil
+
+    table = os.path.join(state_path, name)
+    nxt = os.path.join(state_path, f"{name}_next")
+    old = os.path.join(state_path, f"{name}_old")
+    if not os.path.exists(table):
+        if os.path.exists(os.path.join(nxt, _IDS)):
+            os.rename(nxt, table)   # complete newer state: roll forward
+        elif os.path.exists(old):
+            os.rename(old, table)   # incomplete next: roll back
+    shutil.rmtree(old, ignore_errors=True)
+
+
+def _seen_ids(state_path: str, name: str) -> set:
+    p = os.path.join(state_path, name, _IDS)
+    if os.path.exists(p):
+        with open(p) as f:
+            return set(json.load(f))
+    return set()
+
+
+def _commit_table(state_path: str, name: str, seen: set) -> None:
+    """Record ``seen`` into <name>_next (the completeness marker) and
+    swap it into place."""
+    import shutil
+
+    table = os.path.join(state_path, name)
+    nxt = os.path.join(state_path, f"{name}_next")
+    old = os.path.join(state_path, f"{name}_old")
+    with open(os.path.join(nxt, _IDS), "w") as f:
+        json.dump(sorted(seen), f)
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.exists(table):
+        os.rename(table, old)
+    os.rename(nxt, table)
+    shutil.rmtree(old, ignore_errors=True)
 
 
 def stream_build_sharded(
@@ -74,33 +134,17 @@ def stream_build_sharded(
     ``state_path/shards`` from a streaming source of keys.
 
     Returns the StreamingQuery. The shard table is replaced atomically
-    per micro-batch (write to ``shards_next`` then rename), and processed
+    per micro-batch (the shared commit protocol above), and processed
     batch ids are recorded for idempotent re-delivery."""
     config = config or QFConfig(hash_name=DEFAULT_HASH, counter_bits=32)
     spark = stream_df.sparkSession
     shards_path = os.path.join(state_path, "shards")
-    # processed batch ids live INSIDE the shard directory (underscore
-    # prefix: ignored by parquet readers, like _SUCCESS) so the directory
-    # rename commits the merged table and its batch-id record atomically —
-    # a crash at any point leaves either the old state (batch unrecorded,
-    # safely reprocessed against the old table) or the new state (batch
-    # recorded). Local-filesystem semantics; a lakehouse deployment gets
-    # the same atomicity from Iceberg transactional commits (sources.py).
-    _IDS = "_batch_ids.json"
-
-    def _seen_ids() -> set:
-        p = os.path.join(shards_path, _IDS)
-        if os.path.exists(p):
-            with open(p) as f:
-                return set(json.load(f))
-        return set()
-
-    def _write_ids(dirpath: str, seen: set) -> None:
-        with open(os.path.join(dirpath, _IDS), "w") as f:
-            json.dump(sorted(seen), f)
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
-        seen = _seen_ids()
+        import shutil
+
+        _recover_table(state_path, "shards")
+        seen = _seen_ids(state_path, "shards")
         if batch_id in seen:
             return  # re-delivered micro-batch: already merged
         new_shards = build_sharded_qf(
@@ -108,20 +152,12 @@ def stream_build_sharded(
             checkpoint_path=None,
         )
         next_path = os.path.join(state_path, "shards_next")
-        import shutil
-
         shutil.rmtree(next_path, ignore_errors=True)
         if os.path.exists(shards_path):
             _merge_shard_tables(spark, shards_path, new_shards, next_path)
         else:
             new_shards.write.mode("overwrite").parquet(next_path)
-        _write_ids(next_path, seen | {batch_id})
-        old = os.path.join(state_path, "shards_old")
-        shutil.rmtree(old, ignore_errors=True)
-        if os.path.exists(shards_path):
-            os.rename(shards_path, old)
-        os.rename(next_path, shards_path)
-        shutil.rmtree(old, ignore_errors=True)
+        _commit_table(state_path, "shards", seen | {batch_id})
 
     writer = stream_df.writeStream.foreachBatch(_process).outputMode("update")
     writer = writer.option(
@@ -133,7 +169,9 @@ def stream_build_sharded(
 
 
 def load_stream_state(spark, state_path: str):
-    """Load the current streaming filter state as a ShardedQF."""
+    """Load the current streaming filter state as a ShardedQF
+    (finishing any crash-interrupted commit first)."""
+    _recover_table(state_path, "shards")
     return load_sharded_qf(spark.read.parquet(os.path.join(state_path, "shards")))
 
 
@@ -208,19 +246,12 @@ def stream_sketch(
     build_fn, merge_fn = builders[kind]
     spark = stream_df.sparkSession
     table_path = os.path.join(state_path, "sketch")
-    _IDS = "_batch_ids.json"
-
-    def _seen_ids() -> set:
-        p = os.path.join(table_path, _IDS)
-        if os.path.exists(p):
-            with open(p) as f:
-                return set(json.load(f))
-        return set()
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         import shutil
 
-        seen = _seen_ids()
+        _recover_table(state_path, "sketch")
+        seen = _seen_ids(state_path, "sketch")
         if batch_id in seen:
             return  # re-delivered micro-batch: already merged
         partial = build_fn(batch_df)
@@ -231,14 +262,7 @@ def stream_sketch(
         else:
             merged = partial
         merged.write.mode("overwrite").parquet(next_path)
-        with open(os.path.join(next_path, _IDS), "w") as f:
-            json.dump(sorted(seen | {batch_id}), f)
-        old = os.path.join(state_path, "sketch_old")
-        shutil.rmtree(old, ignore_errors=True)
-        if os.path.exists(table_path):
-            os.rename(table_path, old)
-        os.rename(next_path, table_path)
-        shutil.rmtree(old, ignore_errors=True)
+        _commit_table(state_path, "sketch", seen | {batch_id})
 
     writer = stream_df.writeStream.foreachBatch(_process).outputMode("update")
     writer = writer.option(
@@ -249,7 +273,9 @@ def stream_sketch(
 
 
 def load_stream_sketch(spark, state_path: str) -> DataFrame:
-    """Read the current streaming sketch table."""
+    """Read the current streaming sketch table (finishing any
+    crash-interrupted commit first)."""
+    _recover_table(state_path, "sketch")
     return spark.read.parquet(os.path.join(state_path, "sketch"))
 
 

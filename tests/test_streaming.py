@@ -288,3 +288,77 @@ def test_stream_sketch_matches_batch(spark, kind, params):
         assert got == sorted(map(tuple, want.collect()))
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_recover_table_crash_windows(spark, tmp_path):
+    """Every interruption point of the two-rename commit must recover to
+    a consistent state: complete _next rolls forward, incomplete _next
+    rolls back to _old."""
+    import json
+    import os
+
+    from qfspark import streaming as st
+
+    base = str(tmp_path / "state")
+
+    def fresh(with_next_marker):
+        import shutil
+        shutil.rmtree(base, ignore_errors=True)
+        os.makedirs(f"{base}/sketch_old")
+        open(f"{base}/sketch_old/part-0.parquet", "w").write("old")
+        with open(f"{base}/sketch_old/{st._IDS}", "w") as f:
+            json.dump([0], f)
+        os.makedirs(f"{base}/sketch_next")
+        open(f"{base}/sketch_next/part-0.parquet", "w").write("new")
+        if with_next_marker:
+            with open(f"{base}/sketch_next/{st._IDS}", "w") as f:
+                json.dump([0, 1], f)
+
+    # crash AFTER table->old, next complete: roll forward to next
+    fresh(with_next_marker=True)
+    st._recover_table(base, "sketch")
+    assert st._seen_ids(base, "sketch") == {0, 1}
+    assert not os.path.exists(f"{base}/sketch_old")
+
+    # crash DURING the write of next (no marker): roll back to old
+    fresh(with_next_marker=False)
+    st._recover_table(base, "sketch")
+    assert st._seen_ids(base, "sketch") == {0}
+
+    # healthy state: recovery is a no-op apart from clearing leftovers
+    st._recover_table(base, "sketch")
+    assert st._seen_ids(base, "sketch") == {0}
+
+
+def test_stream_build_resumes_from_pre_build_secs_checkpoint(spark, tmp_path):
+    """A shard-table state written before build_secs existed (0.2.x)
+    must still merge with new-schema batches (permissive union)."""
+    import os
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        F.col("user_id").cast("string").alias("user"))
+    half_a = ev.where("CAST(user AS BIGINT) % 2 = 0")
+    half_b = ev.where("CAST(user AS BIGINT) % 2 = 1")
+    cfg = QFConfig(counter_bits=32, hash_name="xxhash64")
+
+    state = str(tmp_path / "state")
+    shards_path = f"{state}/shards"
+    # simulate the OLD checkpoint: current build minus the new column
+    old = build_sharded_qf(half_a, "user", shard_bits=2, config=cfg)
+    os.makedirs(state)
+    old.drop("build_secs").write.parquet(shards_path)
+
+    src = f"{tmp_path}/src"
+    os.makedirs(src)
+    half_b.toPandas().to_parquet(f"{src}/b0.parquet")
+    stream = (spark.readStream.schema("user string")
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    q = stream_build_sharded(stream, "user", state, shard_bits=2,
+                             config=cfg, trigger={"availableNow": True})
+    q.awaitTermination(240)
+
+    got = load_stream_state(spark, state)
+    exact = {r.user: r.cnt for r in ev.groupBy("user").agg(
+        F.count(F.lit(1)).alias("cnt")).collect()}
+    for user, cnt in list(exact.items())[:50]:
+        assert got.lookup(user) == (True, cnt), user
