@@ -354,8 +354,13 @@ def hll_set_ops(a_df: DataFrame, b_df: DataFrame, col: str,
         ea.crossJoin(eb).crossJoin(eu)  # three one-row frames
         .select(
             "est_a", "est_b", "est_union",
+            # clamp at 0: for near-disjoint sets the inclusion-exclusion
+            # residual is pure estimator noise and can go negative
             F.round(
-                F.col("est_a") + F.col("est_b") - F.col("est_union"), 1
+                F.greatest(
+                    F.lit(0.0),
+                    F.col("est_a") + F.col("est_b") - F.col("est_union")),
+                1,
             ).alias("est_intersection"),
         )
     )
@@ -372,7 +377,7 @@ def duckdb_hll_set_ops_sql(col: str, p: int, source_a: str,
     return f"""
         SELECT a.estimate AS est_a, b.estimate AS est_b,
                u.estimate AS est_union,
-               round(a.estimate + b.estimate - u.estimate, 1)
+               round(greatest(0.0, a.estimate + b.estimate - u.estimate), 1)
                    AS est_intersection
         FROM ({duckdb_hll_sql(col, p, source_a)}) a,
              ({duckdb_hll_sql(col, p, source_b)}) b,
@@ -1176,8 +1181,23 @@ def mg_summary(df: DataFrame, col: str, k: int = 256,
 
     import pandas as pd
 
+    def _prune(counts: "pd.Series") -> tuple["pd.Series", int]:
+        """Subtract the (k+1)-th largest from every counter and drop
+        the non-positives; returns (pruned, t). Removes >= (k+1)*t of
+        counter mass — the accounting the n/(k+1) bound rides on."""
+        if len(counts) <= k:
+            return counts, 0
+        t = int(counts.sort_values(ascending=False).iloc[k])
+        counts = counts - t
+        return counts[counts > 0], t
+
     def _partial(batches):
+        # prune after EVERY Arrow batch, not once at the end: the
+        # running state stays O(k + batch-distinct) — a partition with
+        # 10^8 distinct keys must never materialize them all (the
+        # documented <= k+1 rows-leave-each-partition scale shape)
         counts = None
+        t_total = 0
         for b in batches:
             if weight_col is None:
                 vc = b["item"].dropna().value_counts()
@@ -1188,14 +1208,10 @@ def mg_summary(df: DataFrame, col: str, k: int = 256,
                         "mg_summary weights must be non-negative")
                 vc = sub.groupby("item")["w"].sum()
             counts = vc if counts is None else counts.add(vc, fill_value=0)
-        if counts is None or counts.empty:
+            counts, t = _prune(counts.astype("int64"))
+            t_total += t
+        if counts is None or (counts.empty and t_total == 0):
             return
-        counts = counts.astype("int64")
-        t = 0
-        if len(counts) > k:
-            t = int(counts.sort_values(ascending=False).iloc[k])
-            counts = counts - t
-            counts = counts[counts > 0]
         out = pd.DataFrame({
             "item": counts.index.astype(str),
             "est": counts.to_numpy(),
@@ -1203,7 +1219,7 @@ def mg_summary(df: DataFrame, col: str, k: int = 256,
         out["err"] = 0
         yield pd.concat([
             out,
-            pd.DataFrame({"item": [None], "est": [0], "err": [t]}),
+            pd.DataFrame({"item": [None], "est": [0], "err": [t_total]}),
         ])
 
     cols = [F.col(col).cast("string").alias("item")]
@@ -1213,6 +1229,11 @@ def mg_summary(df: DataFrame, col: str, k: int = 256,
         df.where(F.col(col).isNotNull())
         .select(*cols)
         .mapInPandas(_partial, "item string, est long, err long")
+        # materialize the tiny partial table exactly once: _mg_finalize
+        # references it from several subtrees, and est/err must come
+        # from the SAME Misra-Gries run (partitioning or task retry
+        # could otherwise produce different prune amounts per subtree)
+        .localCheckpoint(eager=True)
     )
     return _mg_finalize(partials, k)
 
@@ -1365,9 +1386,12 @@ def kmv_set_ops(a_df: DataFrame, b_df: DataFrame, col: str,
     estimate degrades with the true Jaccard rather than with the union
     size (the weakness of HLL inclusion-exclusion, ``hll_set_ops``).
     All five values deterministic; DuckDB reproduces them bit-for-bit."""
-    sa = kmv_sketch(a_df, col, k, hash_scheme)
-    sb = kmv_sketch(b_df, col, k, hash_scheme)
-    merged = kmv_merge(sa, sb, k)
+    # materialize each k-row sketch once: every sketch feeds 3-4 plan
+    # subtrees (estimate, merge, semi-joins) and must not re-run its
+    # full-data distinct + top-k per consumer
+    sa = kmv_sketch(a_df, col, k, hash_scheme).localCheckpoint(eager=True)
+    sb = kmv_sketch(b_df, col, k, hash_scheme).localCheckpoint(eager=True)
+    merged = kmv_merge(sa, sb, k).localCheckpoint(eager=True)
     match = (
         merged.join(sa, "h", "left_semi").join(sb, "h", "left_semi")
         .agg(F.count(F.lit(1)).alias("_m"))

@@ -651,3 +651,35 @@ def test_mg_weighted_rejects_negative(spark):
     df = spark.createDataFrame([("a", -1)], "key string, w long")
     with pytest.raises(Exception, match="non-negative"):
         sketches.mg_summary(df, "key", 4, weight_col="w").collect()
+
+
+def test_hll_set_ops_disjoint_clamps_at_zero(spark):
+    a = _keys(spark, 6000)
+    b = spark.range(100000, 106000).selectExpr("concat('k', id) AS key")
+    row = sketches.hll_set_ops(a, b, "key", p=10).collect()[0]
+    assert row.est_intersection >= 0.0
+
+
+def test_mg_per_batch_prune_keeps_guarantee(spark):
+    """Tiny Arrow batches force many incremental prunes; the n/(k+1)
+    guarantee must survive (running state stays O(k), never
+    O(distinct-per-partition))."""
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "200")
+    try:
+        df = _zipfish(spark, n_keys=400, scale=3000, parts=4)
+        true = _mg_truth(n_keys=400, scale=3000)
+        n = sum(true.values())
+        k = 16
+        sk = sketches.mg_summary(df, "key", k).cache()
+        est = {r.item: r.est for r in sk.collect() if r.item is not None}
+        err = sketches.mg_error(sk).first().err
+        assert len(est) <= k and err * (k + 1) <= n
+        for key, c in true.items():
+            e = est.get(key, 0)
+            assert e <= c <= e + err, (key, e, c, err)
+            if c * (k + 1) > n:
+                assert key in est, key
+    finally:
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", old)
