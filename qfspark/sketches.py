@@ -1162,20 +1162,13 @@ def _mg_finalize(unioned: DataFrame, k: int) -> DataFrame:
     return kept.unionByName(sentinel)
 
 
-def mg_summary(df: DataFrame, col: str, k: int = 256,
-               weight_col: str | None = None) -> DataFrame:
-    """Misra-Gries frequent-items summary of ``col`` with k counters.
-
-    Every key whose true count exceeds n/(k+1) is guaranteed present;
-    estimates under-count by at most the summary's ``err`` (sentinel
-    row), itself <= n/(k+1).
-
-    With ``weight_col`` (non-negative integer weights — e.g. bytes per
-    page), counts become weight sums: the guarantee is the weighted
-    form, every key with total weight > W/(k+1) present, err <=
-    W/(k+1) for W total weight. The prune accounting is identical —
-    subtracting t from >= k+1 weighted counters removes >= (k+1)*t of
-    the W mass that entered."""
+def mg_partials(df: DataFrame, col: str, k: int = 256,
+                weight_col: str | None = None) -> DataFrame:
+    """The data-sized half of ``mg_summary``: per-partition Misra-Gries
+    summaries via one vectorized mapInPandas pass, <= k+1 rows emitted
+    per partition. Exposed separately so the plan (MapInPandas, no
+    row-Python) stays auditable — ``mg_summary`` checkpoints this
+    result, which hides the pass from its final plan."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
 
@@ -1225,16 +1218,33 @@ def mg_summary(df: DataFrame, col: str, k: int = 256,
     cols = [F.col(col).cast("string").alias("item")]
     if weight_col is not None:
         cols.append(F.col(weight_col).cast("long").alias("w"))
-    partials = (
+    return (
         df.where(F.col(col).isNotNull())
         .select(*cols)
         .mapInPandas(_partial, "item string, est long, err long")
-        # materialize the tiny partial table exactly once: _mg_finalize
-        # references it from several subtrees, and est/err must come
-        # from the SAME Misra-Gries run (partitioning or task retry
-        # could otherwise produce different prune amounts per subtree)
-        .localCheckpoint(eager=True)
     )
+
+
+def mg_summary(df: DataFrame, col: str, k: int = 256,
+               weight_col: str | None = None) -> DataFrame:
+    """Misra-Gries frequent-items summary of ``col`` with k counters.
+
+    Every key whose true count exceeds n/(k+1) is guaranteed present;
+    estimates under-count by at most the summary's ``err`` (sentinel
+    row), itself <= n/(k+1).
+
+    With ``weight_col`` (non-negative integer weights — e.g. bytes per
+    page), counts become weight sums: the guarantee is the weighted
+    form, every key with total weight > W/(k+1) present, err <=
+    W/(k+1) for W total weight. The prune accounting is identical —
+    subtracting t from >= k+1 weighted counters removes >= (k+1)*t of
+    the W mass that entered."""
+    # materialize the tiny partial table exactly once: _mg_finalize
+    # references it from several subtrees, and est/err must come from
+    # the SAME Misra-Gries run (partitioning or task retry could
+    # otherwise produce different prune amounts per subtree)
+    partials = mg_partials(df, col, k, weight_col).localCheckpoint(
+        eager=True)
     return _mg_finalize(partials, k)
 
 

@@ -151,11 +151,14 @@ def main():
     # 11. Misra-Gries: the only data-sized pass is the vectorized
     # MapInPandas partial; the (k+1)-th-largest threshold select is an
     # order-limit (TakeOrdered), never a global Sort of the data
-    p11 = plan_of(sketches.mg_summary(docs, "source", 8))
+    # audit the data-sized half directly: mg_summary checkpoints it
+    # (single-evaluation guarantee), which hides it from the final plan
+    p11 = plan_of(sketches.mg_partials(docs, "source", 8))
     check("MG partial pass is MapInPandas", p11, r"MapInPandas")
     check("MG has no row-python eval", p11, r"BatchEvalPython",
           must_exist=False)
-    check("MG threshold is an order-limit", p11,
+    p11a = plan_of(sketches.mg_summary(docs, "source", 8))
+    check("MG threshold is an order-limit", p11a,
           r"TakeOrderedAndProject|CollectLimit")
 
     # 11b. grouped rollups: partial aggregation map-side, no Python
