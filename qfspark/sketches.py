@@ -1317,28 +1317,82 @@ def duckdb_mg_heavy_sql(col: str, k: int, source: str) -> str:
 # checkpointing (lineage-carrying sketch tables)
 # ===========================================================================
 
-def checkpoint_sketch(df: DataFrame, path: str, kind: str) -> None:
+_MANIFEST = "_versions.json"
+
+
+def checkpoint_sketch(df: DataFrame, path: str, kind: str,
+                      snapshot: bool = False) -> int:
     """Write a sketch table (registers/counters/bits/sample) as parquet
     with lineage columns (sketch kind, build timestamp, code version) —
     the same resumability contract the CQF shard table has: a downstream
     job reads the checkpoint instead of rebuilding, and stale mixes are
-    detectable by build_ts."""
+    detectable by build_ts.
+
+    ``snapshot=True`` versions the checkpoint instead of overwriting:
+    each call writes ``path/v=<n>`` and appends to an atomically-swapped
+    manifest, giving parquet checkpoints the time-travel-over-build-
+    lineage property an Iceberg deployment gets natively (sources.py) —
+    ``read_sketch(..., version=...)`` reads any retained snapshot.
+    Returns the version written (0 for a plain overwrite)."""
+    import os
     import time as _time
 
     from . import __version__
     from .sources import write_checkpoint
 
-    write_checkpoint(
+    stamped = (
         df.withColumn("sketch_kind", F.lit(kind))
         .withColumn("build_ts", F.lit(_time.time()))
-        .withColumn("code_version", F.lit(__version__)),
-        path,
+        .withColumn("code_version", F.lit(__version__))
     )
+    if not snapshot:
+        write_checkpoint(stamped, path)
+        return 0
+    import json as _json
+
+    versions = sketch_versions(path)
+    v = (max(e["version"] for e in versions) + 1) if versions else 1
+    stamped.write.mode("overwrite").parquet(os.path.join(path, f"v={v}"))
+    versions.append({"version": v, "kind": kind,
+                     "build_ts": _time.time(),
+                     "code_version": __version__})
+    tmp = os.path.join(path, _MANIFEST + ".tmp")
+    with open(tmp, "w") as f:
+        _json.dump(versions, f)
+    os.replace(tmp, os.path.join(path, _MANIFEST))
+    return v
 
 
-def read_sketch(spark, path: str) -> DataFrame:
+def sketch_versions(path: str) -> list[dict]:
+    """The snapshot manifest (empty for unversioned checkpoints)."""
+    import json as _json
+    import os
+
+    p = os.path.join(path, _MANIFEST)
+    if not os.path.exists(p):
+        return []
+    with open(p) as f:
+        return _json.load(f)
+
+
+def read_sketch(spark, path: str, version: int | None = None) -> DataFrame:
+    """Read a sketch checkpoint; for snapshot checkpoints, the latest
+    version by default or any retained ``version`` (time travel)."""
+    import os
+
     from .sources import read_table
 
+    versions = sketch_versions(path)
+    if versions:
+        v = version if version is not None else \
+            max(e["version"] for e in versions)
+        if v not in {e["version"] for e in versions}:
+            raise ValueError(
+                f"no snapshot v={v} at {path}; have "
+                f"{sorted(e['version'] for e in versions)}")
+        path = os.path.join(path, f"v={v}")
+    elif version is not None:
+        raise ValueError(f"{path} is not a snapshot checkpoint")
     return read_table(spark, path).drop(
         "sketch_kind", "build_ts", "code_version")
 

@@ -683,3 +683,25 @@ def test_mg_per_batch_prune_keeps_guarantee(spark):
     finally:
         spark.conf.set(
             "spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
+def test_sketch_snapshot_time_travel(spark, tmp_path):
+    """Versioned checkpoints: each snapshot is retained, the latest is
+    the default read, any version is re-readable (time travel)."""
+    path = str(tmp_path / "snap")
+    r1 = hll_registers(_keys(spark, 1000), "key", 10)
+    r2 = hll_registers(_keys(spark, 3000), "key", 10)
+    assert sketches.checkpoint_sketch(r1, path, "hll", snapshot=True) == 1
+    assert sketches.checkpoint_sketch(r2, path, "hll", snapshot=True) == 2
+    vs = sketches.sketch_versions(path)
+    assert [e["version"] for e in vs] == [1, 2]
+    assert all(e["kind"] == "hll" for e in vs)
+    latest = sketches.read_sketch(spark, path)
+    v1 = sketches.read_sketch(spark, path, version=1)
+    assert sorted(map(tuple, latest.collect())) == \
+        sorted(map(tuple, r2.collect()))
+    assert sorted(map(tuple, v1.collect())) == \
+        sorted(map(tuple, r1.collect()))
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="no snapshot v=9"):
+        sketches.read_sketch(spark, path, version=9)
