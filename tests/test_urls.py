@@ -3,6 +3,7 @@ and the no-Python-in-plan property."""
 
 import duckdb
 import pandas as pd
+from pyspark.sql import functions as F
 
 from qfspark import urls
 
@@ -58,3 +59,43 @@ def test_url_normalize_stays_in_codegen(spark):
     df = spark.createDataFrame([(u,) for u, _ in CASES], "url string")
     plan = urls.url_normalize(df, "url")._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_url_normalize_random_corpus(spark):
+    """300 seeded-random URLs assembled from edge-case parts: normalize
+    must be idempotent and bit-identical to the DuckDB twin on all of
+    them."""
+    import random
+
+    rng = random.Random(20260817)
+    schemes = ["http", "HTTP", "https", "HTTPS", "ftp"]
+    hosts = ["Example.COM", "sub.domain.example.org", "localhost",
+             "a.b", "X-Y.example.net"]
+    ports = ["", ":80", ":443", ":8080", ":21"]
+    paths = ["", "/", "/a", "/a/b.html", "/a%20b", "/trailing/"]
+    queries = ["", "?", "?a=1", "?b=2&a=1", "?z=&a=1", "?dup=1&dup=0",
+               "?a=1&b=2&c=3"]
+    frags = ["", "#x", "#frag/with/slash", "#?q=1"]
+    urls_list = [
+        rng.choice(schemes) + "://" + rng.choice(hosts)
+        + rng.choice(ports) + rng.choice(paths) + rng.choice(queries)
+        + rng.choice(frags)
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame([(u,) for u in urls_list], "url string")
+    got = urls.url_normalize(df, "url").toPandas()
+
+    con = duckdb.connect()
+    con.register("src", pd.DataFrame({"url": urls_list}))
+    want = con.sql(urls.duckdb_url_normalize_sql("url", "src")).df()
+    cols = sorted(got.columns)
+    g = got[cols].sort_values(cols).reset_index(drop=True)
+    w = want[cols].sort_values(cols).reset_index(drop=True)
+    assert g.equals(w)
+
+    # idempotence over the whole corpus
+    once = urls.url_normalize(df, "url").select(
+        F.col("url_norm").alias("url"))
+    bad = urls.url_normalize(once, "url").where(
+        "url_norm != url").collect()
+    assert not bad, bad[:5]
