@@ -166,6 +166,24 @@ def cmd_sketch(args) -> int:
                 args.depth, args.width).collect()[0]
             print(f"F2 ~= {row.f2_estimate:.0f}  "
                   f"(depth={args.depth}, width={args.width})")
+        elif args.what == "setops":
+            if not args.input_b:
+                raise SystemExit("setops requires --input-b")
+            if args.input_b.endswith(".parquet"):
+                df_b = spark.read.parquet(args.input_b)
+                col_b = args.column_b or args.column or df_b.columns[0]
+            else:
+                df_b = (spark.read.text(args.input_b)
+                        .withColumnRenamed("value", "key"))
+                col_b = "key"
+            r = sketches.kmv_set_ops(
+                df.selectExpr(f"{col} AS key"),
+                df_b.selectExpr(f"{col_b} AS key"),
+                "key", k=args.kmv_k).collect()[0]
+            print(f"|A| ~= {r.est_a:.0f}  |B| ~= {r.est_b:.0f}  "
+                  f"|A u B| ~= {r.est_union:.0f}")
+            print(f"jaccard ~= {r.jaccard:.4f}  "
+                  f"|A n B| ~= {r.est_intersection:.0f}")
     finally:
         if owned:
             spark.stop()
@@ -235,9 +253,15 @@ def main(argv=None) -> int:
     sk = sub.add_parser(
         "sketch", help="approximate aggregates over text lines or parquet")
     sk.add_argument("what",
-                    choices=["distinct", "topk", "quantiles", "f2"])
+                    choices=["distinct", "topk", "quantiles", "f2",
+                             "setops"])
     sk.add_argument("--input", required=True)
+    sk.add_argument("--input-b", default=None,
+                    help="second key set for setops (KMV jaccard/"
+                         "intersection)")
     sk.add_argument("--column", default=None)
+    sk.add_argument("--column-b", default=None)
+    sk.add_argument("--kmv-k", type=int, default=256)
     sk.add_argument("--master", default="local[*]")
     sk.add_argument("--p", type=int, default=12, help="HLL precision")
     sk.add_argument("--k", type=int, default=20,

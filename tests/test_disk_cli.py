@@ -223,3 +223,19 @@ def test_cli_sketch(tmp_path, spark, capsys):
     assert main(["sketch", "f2", "--input", str(lines)]) == 0
     assert "F2 ~=" in capsys.readouterr().out
     assert spark.sparkContext._jsc is not None  # session not stopped
+
+
+def test_cli_sketch_setops(tmp_path, spark, capsys):
+    a = tmp_path / "a.txt"
+    b = tmp_path / "b.txt"
+    a.write_text("".join(f"k{i}\n" for i in range(100)))
+    b.write_text("".join(f"k{i}\n" for i in range(50, 150)))
+    from qfspark.cli import main
+
+    assert main(["sketch", "setops", "--input", str(a),
+                 "--input-b", str(b), "--kmv-k", "256"]) == 0
+    out = capsys.readouterr().out
+    # k exceeds both sets: all five numbers are exact
+    assert "|A| ~= 100" in out and "|B| ~= 100" in out
+    assert "|A u B| ~= 150" in out and "|A n B| ~= 50" in out
+    assert "jaccard ~= 0.3333" in out
