@@ -70,7 +70,6 @@ for web-scale training pipelines). No reference file corresponds to it.
 
 from __future__ import annotations
 
-import bisect
 import math
 
 from pyspark.sql import DataFrame, functions as F
@@ -165,6 +164,19 @@ def hll_merge(*register_dfs: DataFrame) -> DataFrame:
     for d in it:
         out = out.unionByName(d)
     return out.groupBy("bucket").agg(F.max("rho_max").alias("rho_max"))
+
+
+def hll_merge_by(by, *register_dfs: DataFrame) -> DataFrame:
+    """Merge grouped register tables (``hll_registers_by``): per-group
+    register-wise max. Same merge == rebuild row-identity as
+    ``hll_merge``, independently per group."""
+    by = [by] if isinstance(by, str) else list(by)
+    it = iter(register_dfs)
+    out = next(it)
+    for d in it:
+        out = out.unionByName(d)
+    return out.groupBy(*by, "bucket").agg(
+        F.max("rho_max").alias("rho_max"))
 
 
 def hll_estimate(register_df: DataFrame, p: int) -> DataFrame:
@@ -556,21 +568,34 @@ def ams_f2_table(df: DataFrame, col: str, depth: int = 5,
     row-identical to a rebuild. Each E[S_gj^2] = F2 with variance
     <= 2*F2^2; averaging width cells divides the variance by width and
     the median over an odd ``depth`` of group means gives the standard
-    AMS concentration."""
+    AMS concentration.
+
+    Hashing cost: the depth*width cell signs come from disjoint BIT
+    FIELDS of ceil(depth*width / 60) 60-bit hashes per input row
+    (sign of cell i = bit i%60 of hash(i//60 || ':' || key)) — 2
+    hashes instead of 80 at the defaults, a ~40x cut in the dominant
+    per-row cost at scale (pre-0.4.0 hashed once per cell). The
+    explode itself stays: map-side partial aggregation collapses each
+    partition to <= depth*width cells before any shuffle, so it is
+    bounded CPU, not shuffle volume."""
     if depth < 1 or depth % 2 == 0:
         raise ValueError(f"depth must be odd and >= 1, got {depth}")
     total = depth * width
-    h = sketch_hash(f"concat(i, ':', {col})", hash_scheme)
+    blocks = (total + 59) // 60
+    h_b = sketch_hash(f"concat(b, ':', {col})", hash_scheme)
+    hs = f"transform(sequence(0, {blocks - 1}), b -> {h_b})"
+    bit = (f"shiftright(hs[CAST(i div 60 AS INT)], "
+           f"CAST(pmod(i, 60) AS INT)) & 1")
     return (
         df.where(F.col(col).isNotNull())
         .select(
-            F.col(col),
+            F.expr(hs).alias("hs"),
             F.explode(F.expr(f"sequence(0, {total - 1})")).alias("i"),
         )
         .select(
             F.expr(f"CAST(i div {width} AS INT)").alias("row"),
             F.expr(f"CAST(pmod(i, {width}) AS INT)").alias("j"),
-            F.expr(f"CAST(1 - 2 * pmod({h}, 2) AS BIGINT)").alias("sign"),
+            F.expr(f"CAST(1 - 2 * ({bit}) AS BIGINT)").alias("sign"),
         )
         .groupBy("row", "j")
         .agg(F.sum("sign").alias("s"))
@@ -606,14 +631,16 @@ def ams_f2_estimate(table: DataFrame, depth: int = 5,
 
 def duckdb_ams_f2_sql(col: str, depth: int, width: int,
                       source: str) -> str:
-    """Oracle twin of ams_f2_table + ams_f2_estimate."""
-    h = duckdb_hash60(f"(i || ':' || {col})")
+    """Oracle twin of ams_f2_table + ams_f2_estimate (same per-block
+    bit-field sign derivation, bit-exact)."""
+    h = duckdb_hash60(f"((i // 60) || ':' || {col})")
     total = depth * width
     return f"""
         WITH t AS (
             SELECT CAST(i // {width} AS INT) AS row,
                    CAST(i % {width} AS INT) AS j,
-                   CAST(SUM(1 - 2 * ({h} % 2)) AS BIGINT) AS s
+                   CAST(SUM(1 - 2 * (({h} >> CAST(i % 60 AS INT)) & 1))
+                        AS BIGINT) AS s
             FROM {source}, unnest(range(0, {total})) AS u(i)
             WHERE {col} IS NOT NULL
             GROUP BY 1, 2
@@ -722,30 +749,43 @@ def duckdb_bloom_sql(col: str, m_bits: int, k: int, source: str,
 
 def bottomk_sketch(df: DataFrame, key_col: str, value_col: str,
                    k: int = 512,
-                   hash_scheme: str = "hash60") -> DataFrame:
-    """The k rows whose hash60(key) ranks smallest — a deterministic
-    uniform sample of distinct keys (Cohen & Kaplan's bottom-k sketch
-    family). Returns (h, key, value) rows.
+                   hash_scheme: str = "hash60",
+                   distinct: bool = False) -> DataFrame:
+    """The k rows whose hash60(key) ranks smallest (Cohen & Kaplan's
+    bottom-k sketch family). Returns (h, key, value) rows.
+
+    Default semantics are PER-ROW: a key appearing r times occupies up
+    to r of the k slots, i.e. a frequency-weighted sample of the row
+    multiset — the right weighting for row-population quantiles. The
+    sort key is the TOTAL order (h, key, value), so the selected rows
+    are a pure function of the input multiset in every engine
+    (pre-0.4.0 the order was (h, key), leaving ties on duplicated keys
+    engine-dependent). ``distinct=True`` gives a uniform sample of
+    DISTINCT keys instead (value = per-key minimum): one extra
+    groupBy-min whose shuffle carries the distinct key set — use it
+    when keys are duplicated AND per-key semantics are wanted; the
+    default path stays a shuffle-free TakeOrdered (per-partition top-k
+    + driver merge of k-sized lists).
 
     Mergeable: the bottom-k of a union is the bottom-k of the
     concatenated bottom-k's (``bottomk_merge``) — exactly, not
-    approximately. Spark executes the global order-limit as
-    TakeOrdered: per-partition top-k then a driver merge of k-sized
-    lists; no full sort, no shuffle of the data."""
-    return (
+    approximately (for ``distinct=True``, merge inputs built with
+    ``distinct=True`` on disjoint key sets, or re-dedup after)."""
+    base = (
         df.where(F.col(key_col).isNotNull())
         .select(
             F.expr(sketch_hash(key_col, hash_scheme)).alias("h"),
             F.col(key_col).alias("key"),
             F.col(value_col).alias("value"),
         )
-        .orderBy("h", "key")
-        .limit(k)
     )
+    if distinct:
+        base = base.groupBy("h", "key").agg(F.min("value").alias("value"))
+    return base.orderBy("h", "key", "value").limit(k)
 
 
 def bottomk_merge(a: DataFrame, b: DataFrame, k: int = 512) -> DataFrame:
-    return a.unionByName(b).orderBy("h", "key").limit(k)
+    return a.unionByName(b).orderBy("h", "key", "value").limit(k)
 
 
 def bottomk_quantiles(sketch_df: DataFrame, qs: list[float]) -> DataFrame:
@@ -781,7 +821,7 @@ def duckdb_bottomk_quantiles_sql(key_col: str, value_col: str, k: int,
             SELECT {h} AS h, {key_col} AS key,
                    CAST({value_col} AS DOUBLE) AS value
             FROM {source} WHERE {key_col} IS NOT NULL
-            ORDER BY h, key LIMIT {k}
+            ORDER BY h, key, value LIMIT {k}
         ),
         vals AS (SELECT list_sort(list(value)) AS vals FROM sk)
         SELECT q, vals[CAST(floor(q * (len(vals) - 1)) AS INT) + 1]
@@ -1082,15 +1122,26 @@ def quantile_bound_check(df: DataFrame, value_col: str,
     else:
         raise ValueError(f"unknown sketch kind {kind!r}")
 
-    vals = sorted(r[0] for r in df.select(value_col).dropna().collect())
-    n = len(vals)
+    # Exact rank interval of each estimate, computed DISTRIBUTIVELY: per
+    # q, two conditional counts (value < est == bisect_left rank;
+    # value <= est == bisect_right rank) in ONE aggregate pass — O(|qs|)
+    # values ever reach the driver. A tied value occupies a rank
+    # INTERVAL [left, right]; the error is the distance from q to that
+    # interval (a heavy tie at the true quantile would otherwise read as
+    # a huge false error). The pre-0.4.0 checker collected the whole
+    # value column to the driver, a scale trap at 10^12 rows.
+    vdf = df.select(F.col(value_col).alias("_v")).dropna()
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for i, q in enumerate(qs):
+        e = F.lit(float(est[q]))
+        aggs.append(F.sum((F.col("_v") < e).cast("long")).alias(f"_lt{i}"))
+        aggs.append(F.sum((F.col("_v") <= e).cast("long")).alias(f"_le{i}"))
+    r = vdf.agg(*aggs).collect()[0]
+    n = r["_n"]
     rows = []
-    for q in qs:
-        # a tied value occupies a rank INTERVAL [left, right]; the error
-        # is the distance from q to that interval (a heavy tie at the
-        # true quantile would otherwise read as a huge false error)
-        lo = bisect.bisect_left(vals, est[q]) / n
-        hi = bisect.bisect_right(vals, est[q]) / n
+    for i, q in enumerate(qs):
+        lo = r[f"_lt{i}"] / n
+        hi = r[f"_le{i}"] / n
         err = max(0.0, lo - q, q - hi)
         rows.append((float(q), bool(err <= bound)))
     return spark.createDataFrame(rows, "q double, ok boolean")
@@ -1195,7 +1246,9 @@ def mg_partials(df: DataFrame, col: str, k: int = 256,
             if weight_col is None:
                 vc = b["item"].dropna().value_counts()
             else:
-                sub = b.dropna(subset=["item"])
+                # drop null weights too: a null weight would become NaN
+                # in the groupby sum and fail the int64 cast opaquely
+                sub = b.dropna(subset=["item", "w"])
                 if (sub["w"] < 0).any():
                     raise ValueError(
                         "mg_summary weights must be non-negative")
@@ -1310,6 +1363,220 @@ def duckdb_mg_heavy_sql(col: str, k: int, source: str) -> str:
         ),
         n AS (SELECT SUM(c) AS n FROM e)
         SELECT item, TRUE AS ok FROM e, n WHERE c * {k + 1} > n
+    """
+
+
+# ---------------------------------------------------------------------------
+# grouped Misra-Gries (per-group heavy hitters in one pass)
+# ---------------------------------------------------------------------------
+#
+# Same summary contract as mg_summary, independently PER GROUP: for each
+# group g, every key with count > n_g/(k+1) is present, estimates
+# under-count by at most the group's err sentinel, err_g <= n_g/(k+1).
+# Scale shape: one mapInPandas pass emitting <= (k+1) rows per group per
+# partition (state is O(groups-in-partition * k), pruned per Arrow
+# batch); the finalize works on that tiny table with a per-group
+# window rank — per-language / per-domain top items without a second
+# scan of the corpus.
+
+
+def _norm_by(by) -> list[str]:
+    return [by] if isinstance(by, str) else list(by)
+
+
+def mg_partials_by(df: DataFrame, col: str, by, k: int = 256,
+                   weight_col: str | None = None) -> DataFrame:
+    """Per-partition grouped Misra-Gries summaries: <= k data rows plus
+    one err-sentinel row per group per partition. Group columns are
+    cast to string (same convention as the item column); rows with a
+    NULL group key are excluded — a NULL key cannot round-trip through
+    the finalize's equi-joins in either engine, so exclusion is part of
+    the operator contract (mirrored in ``duckdb_mg_heavy_by_sql``)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    by = _norm_by(by)
+
+    import pandas as pd
+
+    glev = list(range(len(by)))  # group levels of the (by..., item) index
+
+    def _prune_by(counts: "pd.Series"):
+        """Per group: subtract the (k+1)-th largest count from every
+        counter in that group, drop non-positives. Returns (pruned,
+        t_per_group) — the per-group subtraction amounts the error
+        accounting rides on (each removes >= (k+1)*t_g of that group's
+        counter mass)."""
+        s = counts.sort_values(ascending=False)
+        rank = s.groupby(level=glev).cumcount()
+        t = s[rank == k]
+        if t.empty:
+            return counts, t.droplevel(-1)
+        t = t.droplevel(-1)
+        tvals = t.reindex(counts.index.droplevel(-1)).fillna(0).to_numpy()
+        pruned = counts - tvals.astype("int64")
+        return pruned[pruned > 0], t
+
+    def _partial(batches):
+        counts = None
+        t_tot = None
+        for b in batches:
+            if weight_col is None:
+                sub = b.dropna(subset=["item"])
+                vc = sub.groupby(by + ["item"]).size()
+            else:
+                sub = b.dropna(subset=["item", "w"])
+                if (sub["w"] < 0).any():
+                    raise ValueError(
+                        "mg_summary weights must be non-negative")
+                vc = sub.groupby(by + ["item"])["w"].sum()
+            counts = vc if counts is None else counts.add(vc, fill_value=0)
+            counts, t = _prune_by(counts.astype("int64"))
+            t_tot = t if t_tot is None else t_tot.add(t, fill_value=0)
+        if counts is None:
+            return
+        out = counts.reset_index()
+        out.columns = by + ["item", "est"]
+        out["err"] = 0
+        grp = counts.index.droplevel(-1).unique()
+        if t_tot is not None and len(t_tot):
+            grp = grp.union(t_tot.index.unique())
+        sent = pd.Series(0, index=grp, dtype="int64") if t_tot is None \
+            else t_tot.reindex(grp).fillna(0).astype("int64")
+        sent = sent.reset_index()
+        sent.columns = by + ["err"]
+        sent["item"] = None
+        sent["est"] = 0
+        if len(out) or len(sent):
+            yield pd.concat([out, sent[by + ["item", "est", "err"]]])
+
+    schema = ", ".join(f"`{c}` string" for c in by) \
+        + ", item string, est long, err long"
+    sel = [F.col(c).cast("string").alias(c) for c in by]
+    sel.append(F.col(col).cast("string").alias("item"))
+    if weight_col is not None:
+        sel.append(F.col(weight_col).cast("long").alias("w"))
+    pred = F.col(col).isNotNull()
+    for c in by:
+        pred = pred & F.col(c).isNotNull()
+    return df.where(pred).select(*sel).mapInPandas(_partial, schema)
+
+
+def _mg_finalize_by(unioned: DataFrame, by: list[str],
+                    k: int) -> DataFrame:
+    """Grouped twin of ``_mg_finalize``: per-group sum, per-group
+    (k+1)-th-largest subtraction (window rank over the tiny partial
+    table), per-group sentinel."""
+    from pyspark.sql import Window
+
+    summed = (
+        unioned.where(F.col("item").isNotNull())
+        .groupBy(*by, "item").agg(F.sum("est").cast("long").alias("est"))
+    )
+    errs = unioned.groupBy(*by).agg(
+        F.coalesce(F.sum("err"), F.lit(0)).cast("long").alias("_e"))
+    w = Window.partitionBy(*by).orderBy(F.desc("est"), "item")
+    t_val = (
+        summed.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == k + 1)
+        .select(*by, F.col("est").alias("_t"))
+    )
+    kept = (
+        summed.join(t_val, by, "left")
+        .withColumn("_t", F.coalesce(F.col("_t"), F.lit(0)))
+        .where(F.col("est") > F.col("_t"))
+        .select(
+            *by, "item",
+            (F.col("est") - F.col("_t")).cast("long").alias("est"),
+            F.lit(0).cast("long").alias("err"),
+        )
+    )
+    sentinel = (
+        errs.join(t_val, by, "left")
+        .select(
+            *by, F.lit(None).cast("string").alias("item"),
+            F.lit(0).cast("long").alias("est"),
+            (F.col("_e") + F.coalesce(F.col("_t"), F.lit(0)))
+            .cast("long").alias("err"),
+        )
+    )
+    return kept.unionByName(sentinel)
+
+
+def mg_summary_by(df: DataFrame, col: str, by, k: int = 256,
+                  weight_col: str | None = None) -> DataFrame:
+    """Per-group Misra-Gries frequent-items summary (k counters per
+    group): the most common production slicing of the heavy-hitters
+    sketch (top users per language, top shingles per domain) in ONE
+    pass over the data — schema (by..., item, est, err) with one NULL-
+    item err sentinel per group."""
+    partials = mg_partials_by(df, col, by, k, weight_col).localCheckpoint(
+        eager=True)
+    return _mg_finalize_by(partials, _norm_by(by), k)
+
+
+def mg_merge_by(a: DataFrame, b: DataFrame, by, k: int = 256) -> DataFrame:
+    """Merge two grouped summaries built with the same (by, k)."""
+    return _mg_finalize_by(a.unionByName(b), _norm_by(by), k)
+
+
+def mg_bound_check_by(df: DataFrame, col: str, by,
+                      k: int = 256) -> DataFrame:
+    """(by..., item, ok) per TRUE per-group heavy hitter: present in the
+    group's summary with est <= true <= est + err_g and err_g within the
+    per-group n_g/(k+1) bound. Oracle: ``duckdb_mg_heavy_by_sql`` —
+    the exact per-group heavy set with constant TRUE."""
+    by = _norm_by(by)
+    sk = mg_summary_by(df, col, by, k)
+    pred = F.col(col).isNotNull()
+    for c in by:
+        pred = pred & F.col(c).isNotNull()
+    exact = (
+        df.where(pred)
+        .select(*[F.col(c).cast("string").alias(c) for c in by],
+                F.col(col).cast("string").alias("item"))
+        .groupBy(*by, "item").agg(F.count(F.lit(1)).alias("true_cnt"))
+    )
+    n_df = exact.groupBy(*by).agg(
+        F.sum("true_cnt").cast("long").alias("_n"))
+    heavy = (
+        exact.join(n_df, by)
+        .where(F.col("true_cnt") * (k + 1) > F.col("_n"))
+    )
+    ests = sk.where(F.col("item").isNotNull()).select(*by, "item", "est")
+    errs = sk.groupBy(*by).agg(
+        F.coalesce(F.sum("err"), F.lit(0)).cast("long").alias("_err"))
+    return (
+        heavy.join(F.broadcast(ests), by + ["item"], "left")
+        .join(F.broadcast(errs), by, "left")
+        .select(
+            *by, "item",
+            (
+                F.col("est").isNotNull()
+                & (F.col("est") <= F.col("true_cnt"))
+                & (F.col("true_cnt") <= F.col("est") + F.col("_err"))
+                & (F.col("_err") * (k + 1) <= F.col("_n"))
+            ).alias("ok"),
+        )
+    )
+
+
+def duckdb_mg_heavy_by_sql(col: str, by, k: int, source: str) -> str:
+    """Oracle twin of ``mg_bound_check_by``: the exact per-group heavy
+    set with constant TRUE."""
+    by = _norm_by(by)
+    bys = ", ".join(f"CAST({c} AS VARCHAR) AS {c}" for c in by)
+    bnames = ", ".join(by)
+    notnull = " AND ".join([f"{col} IS NOT NULL"]
+                           + [f"{c} IS NOT NULL" for c in by])
+    return f"""
+        WITH e AS (
+            SELECT {bys}, CAST({col} AS VARCHAR) AS item,
+                   COUNT(*) AS c
+            FROM {source} WHERE {notnull} GROUP BY ALL
+        ),
+        n AS (SELECT {bnames}, SUM(c) AS n FROM e GROUP BY ALL)
+        SELECT e.{', e.'.join(by)}, e.item, TRUE AS ok
+        FROM e JOIN n USING ({bnames}) WHERE e.c * {k + 1} > n.n
     """
 
 
@@ -1538,7 +1805,8 @@ def bottomk_sketch_by(df: DataFrame, key_col: str, value_col: str,
 
     if not by:
         raise ValueError("by must name at least one grouping column")
-    w = Window.partitionBy(*by).orderBy("h", "key")
+    # total order (h, key, value): same tie rule as bottomk_sketch
+    w = Window.partitionBy(*by).orderBy("h", "key", "value")
     return (
         df.where(F.col(key_col).isNotNull())
         .select(
@@ -1547,6 +1815,21 @@ def bottomk_sketch_by(df: DataFrame, key_col: str, value_col: str,
             F.col(key_col).alias("key"),
             F.col(value_col).alias("value"),
         )
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def bottomk_merge_by(a: DataFrame, b: DataFrame, by: list[str],
+                     k: int = 512) -> DataFrame:
+    """Merge grouped bottom-k sketches: union + re-apply the per-group
+    min-k (exact, like ``bottomk_merge``)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*by).orderBy("h", "key", "value")
+    return (
+        a.unionByName(b)
         .withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") <= k)
         .drop("_rn")
@@ -1584,7 +1867,9 @@ def duckdb_bottomk_quantiles_by_sql(key_col: str, value_col: str,
             SELECT {bys}, {h} AS h, {key_col} AS key,
                    CAST({value_col} AS DOUBLE) AS value,
                    row_number() OVER (PARTITION BY {bys}
-                                      ORDER BY {h}, {key_col}) AS rn
+                                      ORDER BY {h}, {key_col},
+                                               CAST({value_col} AS DOUBLE))
+                       AS rn
             FROM {source} WHERE {key_col} IS NOT NULL
         ),
         sk AS (SELECT * FROM ranked WHERE rn <= {k}),
