@@ -178,6 +178,39 @@ def duckdb_minhash_lsh_pairs_sql(
 # exact n-gram Jaccard
 # ---------------------------------------------------------------------------
 
+#: registry of operator-internal pair caches. Strong references on
+#: purpose: a DataFrame.persist() lives in the JVM CacheManager until
+#: an explicit unpersist (the Python wrapper being GC'd does NOT free
+#: it), so the registry is the cache's lifetime record, not a leak —
+#: each entry is a thin plan wrapper, and ``release_pair_caches``
+#: unpersists and clears them.
+_PAIR_CACHES: list = []
+
+
+def _track_cache(df: DataFrame) -> DataFrame:
+    _PAIR_CACHES.append(df)
+    return df
+
+
+def release_pair_caches() -> int:
+    """Unpersist every candidate-pair cache created by
+    ``ngram_jaccard``/``minhash_lsh_pairs`` since the last release —
+    deterministic lifetime for long-lived sessions (streaming
+    foreachBatch, benchmark loops), where per-call caches would
+    otherwise accumulate in the block manager until session end.
+    Always safe: an unpersisted cache recomputes from lineage. Returns
+    the number of caches released."""
+    n = 0
+    for df in _PAIR_CACHES:
+        try:
+            df.unpersist(blocking=False)
+            n += 1
+        except Exception:
+            pass
+    _PAIR_CACHES.clear()
+    return n
+
+
 def _distinct_shingles(df: DataFrame, col: str, k: int) -> DataFrame:
     return (
         df.select("doc_id", F.explode(F.expr(shingle_expr(col, k))).alias("shingle"))
@@ -222,9 +255,15 @@ def ngram_jaccard(
         # from an LSH candidate generator the lineage behind it is the
         # most expensive stage of the whole pipeline — unpersisted, Spark
         # recomputes that lineage per consumer. The cache is two longs
-        # per pair, MEMORY_AND_DISK, LRU-evicted.
-        pairs = (pairs.select("doc_a", "doc_b").distinct()
-                 .persist(StorageLevel.MEMORY_AND_DISK))
+        # per pair, MEMORY_AND_DISK, LRU-evicted. Lifetime: released by
+        # the JVM ContextCleaner once the result's plan is GC'd; long-
+        # lived sessions issuing many calls (streaming foreachBatch,
+        # benchmark loops) should call ``release_pair_caches()`` between
+        # calls for deterministic release (safe at any point — a cache
+        # is a hint, unpersist never invalidates the plan).
+        pairs = _track_cache(
+            pairs.select("doc_a", "doc_b").distinct()
+            .persist(StorageLevel.MEMORY_AND_DISK))
         members = (
             pairs.select(F.col("doc_a").alias("doc_id"))
             .union(pairs.select(F.col("doc_b").alias("doc_id")))
@@ -386,6 +425,7 @@ def embedding_near_dup(
     tables: int | None = None,
     planes: int | None = None,
     dim: int = 64,
+    approx_count: int | None = None,
 ) -> DataFrame:
     """Near-duplicate groups by embedding cosine similarity: pairs with
     cosine >= threshold collapse to (dup id -> keep id = min id of the
@@ -418,7 +458,8 @@ def embedding_near_dup(
     and tables = ceil(ln 1e-4 / ln(1 - p^planes)) — a corpus-scaled
     plane count alone would quietly push the boundary miss rate past 50%
     at t=0.8 (p^14 ~ 0.04 with 1M vectors)."""
-    from .similarity import _dot, cosine_pairs, lsh_bucketed, planes_for
+    from .similarity import (_dot, approx_row_count, cosine_pairs,
+                             lsh_bucketed, planes_for)
 
     if method == "auto":
         method = "lsh" if threshold >= 0.8 else "exact"
@@ -430,7 +471,12 @@ def embedding_near_dup(
         p = 1.0 - math.acos(min(threshold, 1.0)) / math.pi
         planes_cap = max(2, int(math.log(0.25) / math.log(p)))
         if planes is None:
-            planes = min(planes_for(emb_df.count()), planes_cap)
+            # corpus size from plan stats / parquet footers, not a scan
+            # (similarity.approx_row_count); log2 granularity makes the
+            # estimate equivalent to the exact count
+            n_est = (approx_count if approx_count is not None
+                     else approx_row_count(emb_df))
+            planes = min(planes_for(n_est), planes_cap)
         if tables is None:
             miss_per_table = 1.0 - p ** planes
             tables = (1 if miss_per_table <= 0 else
@@ -756,6 +802,16 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # exiting via max_iter with labels still moving means SPLIT
+        # components — silently wrong cluster labels downstream (extra
+        # docs kept per cluster). Pointer jumping converges in
+        # O(log diameter) rounds, so hitting this indicates a graph far
+        # outside the operator's design envelope: fail loudly.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            f"rounds ({changed} labels still changing); raise max_iter "
+            "(rounds needed ~ log2 of the largest component's diameter)")
     return labels.select(F.col("node"), F.col("comp").alias("component"))
 
 

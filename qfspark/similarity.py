@@ -121,6 +121,54 @@ def cosine_topk(df: DataFrame, queries: DataFrame | None = None,
     )
 
 
+def approx_row_count(df: DataFrame, sample_files: int = 64) -> int:
+    """Best-effort row-count estimate WITHOUT scanning the data — used
+    to derive LSH plane counts when the caller doesn't pass one.
+    ``planes_for`` consumes the estimate at log2 granularity, so a small
+    constant-factor error is equivalent to the exact count (a ±10%
+    estimate changes the plane count only at power-of-2 boundaries).
+
+    Strategy ladder:
+      1. Catalyst optimized-plan statistics (exact under CBO / cached
+         relations).
+      2. Parquet FOOTER metadata of the scan's input files — reads
+         ``min(sample_files, |files|)`` footers driver-side (metadata
+         pages only, no data IO) and scales by the file count; exact
+         when every footer is read. Pre-filter count: an upstream
+         filter makes this an overestimate, which only over-sizes the
+         bucket count (safe direction).
+      3. ``df.count()`` — the explicit fallback for in-memory / exotic
+         sources; the one remaining driver action, on a column-pruned
+         scan.
+    """
+    try:
+        rc = df._jdf.queryExecution().optimizedPlan().stats().rowCount()
+        if rc.isDefined():
+            return int(str(rc.get()))
+    except Exception:
+        pass
+    try:
+        files = df.inputFiles()
+    except Exception:
+        files = []
+    if files:
+        try:
+            import pyarrow.parquet as pq
+
+            paths = sorted(f[len("file:"):] if f.startswith("file:")
+                           else f for f in files
+                           if not f.startswith(("hdfs:", "s3:", "s3a:")))
+            if paths and len(paths) == len(files):
+                step = max(1, len(paths) // sample_files)
+                sampled = paths[::step][:sample_files]
+                rows = sum(pq.ParquetFile(p).metadata.num_rows
+                           for p in sampled)
+                return max(1, int(rows / len(sampled) * len(paths)))
+        except Exception:
+            pass
+    return df.count()
+
+
 def planes_for(n: int, target_bucket: int = 64,
                lo: int = 4, hi: int = 24) -> int:
     """Hyperplane count scaled to corpus size: 2^planes buckets per hash
@@ -186,7 +234,8 @@ def lsh_bucketed(df: DataFrame, id_col: str = "vec_id",
 def lsh_cosine_topk(df: DataFrame, id_col: str = "vec_id",
                     col: str = "embedding", k: int = 10,
                     planes: int | None = None, dim: int = 64,
-                    tables: int = 4) -> DataFrame:
+                    tables: int = 4,
+                    approx_count: int | None = None) -> DataFrame:
     """Approximate top-k: candidates share a sign-bucket in at least one
     of ``tables`` independent hash tables (equality join on (table,
     bucket) — shuffle bounded by bucket population, never n^2), then
@@ -194,11 +243,18 @@ def lsh_cosine_topk(df: DataFrame, id_col: str = "vec_id",
     shape: ``planes=None`` derives the bucket count from the corpus size
     (``planes_for``) so bucket population stays bounded as the corpus
     grows; more tables raise recall at linear candidate cost. Measure
-    the recall dial with ``ann_recall_df`` against ``cosine_topk``."""
+    the recall dial with ``ann_recall_df`` against ``cosine_topk``.
+
+    With ``planes=None`` the corpus size comes from ``approx_count``
+    when given, else ``approx_row_count`` — plan statistics / parquet
+    footers, no extra scan of the corpus for the common
+    parquet-backed case (pre-0.4.0 this was an unconditional
+    ``df.count()``, one full driver action per defaulted call)."""
     from pyspark.sql.window import Window
 
     if planes is None:
-        planes = planes_for(df.count())
+        planes = planes_for(approx_count if approx_count is not None
+                            else approx_row_count(df))
 
     # candidate generation over (id, t, bucket) only — embeddings do not
     # ride the bucket shuffle (see lsh_bucketed); they re-attach to the
