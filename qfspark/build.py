@@ -578,14 +578,55 @@ def build_sharded_qf(
     if checkpoint_path:
         from .sources import read_table, write_checkpoint
 
+        if resume:
+            shards_df = _align_resume_schema(
+                spark, shards_df, checkpoint_path)
         write_checkpoint(shards_df, checkpoint_path,
                          mode="append" if resume else "overwrite")
         if exchange == "storage" and spill_cleanup:
             import shutil
 
             shutil.rmtree(spill_cleanup, ignore_errors=True)
-        return latest_shards(read_table(spark, checkpoint_path))
+        # merge_schema: a resumed directory may mix files written by
+        # different library versions (see _align_resume_schema)
+        return latest_shards(
+            read_table(spark, checkpoint_path, merge_schema=resume))
     return shards_df
+
+
+def _align_resume_schema(spark, shards_df: DataFrame,
+                         checkpoint_path: str) -> DataFrame:
+    """Align a resumed build's shard rows to the existing checkpoint's
+    schema before appending. A checkpoint written by an older library
+    version lacks newer lineage columns (e.g. pre-0.3.0 has no
+    ``build_secs``): appending a wider schema into a parquet directory
+    leaves readers without mergeSchema picking one footer's schema
+    arbitrarily (build_secs silently missing or null), and an Iceberg
+    append fails outright on the mismatch. Mirrors the streaming path's
+    unionByName(allowMissingColumns) contract: legacy-only columns are
+    null-filled on the new rows, new-only columns are kept (the reader
+    side uses mergeSchema via ``latest_shards`` callers reading the
+    whole directory — see test_round4_fixes)."""
+    try:
+        from .sources import read_table
+
+        existing = read_table(spark, checkpoint_path)
+    except Exception:
+        return shards_df  # first write: nothing to align to
+    if existing.columns == shards_df.columns:
+        return shards_df
+    # null-fill columns the existing table has and we don't, and order
+    # ours to match; columns only WE have are appended at the end (a
+    # parquet append tolerates them; readers merge schemas)
+    exist_fields = {f.name: f.dataType for f in existing.schema.fields}
+    ours = set(shards_df.columns)
+    sel = [
+        (F.col(name) if name in ours
+         else F.lit(None).cast(dtype).alias(name))
+        for name, dtype in exist_fields.items()
+    ]
+    sel += [F.col(c) for c in shards_df.columns if c not in exist_fields]
+    return shards_df.select(*sel)
 
 
 def latest_shards(shards_df: DataFrame) -> DataFrame:

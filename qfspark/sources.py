@@ -23,13 +23,18 @@ def iceberg_available(spark: SparkSession) -> bool:
         return False
 
 
-def read_table(spark: SparkSession, location: str, fmt: str = "auto") -> DataFrame:
+def read_table(spark: SparkSession, location: str, fmt: str = "auto",
+               merge_schema: bool = False) -> DataFrame:
     """Read a table by path or catalog identifier.
 
     fmt='iceberg'  — catalog identifier (e.g. ``warehouse.db.web_pages``)
     fmt='parquet'  — filesystem path
     fmt='auto'     — iceberg when the runtime is present and the location
                      looks like an identifier, else parquet
+
+    ``merge_schema=True`` unions the footer schemas of a parquet
+    directory whose files were written by different library versions
+    (resumed checkpoints; Iceberg handles evolution natively).
     """
     if fmt == "auto":
         looks_ident = "/" not in location and not location.endswith(".parquet")
@@ -43,7 +48,10 @@ def read_table(spark: SparkSession, location: str, fmt: str = "auto") -> DataFra
             )
         return spark.read.format("iceberg").load(location)
     if fmt == "parquet":
-        return spark.read.parquet(location)
+        reader = spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(location)
     raise ValueError(f"unknown format {fmt!r}")
 
 
