@@ -483,6 +483,36 @@ class QF:
         self._index = None
         return self._insert_hash_nogrow(hv, value, add)
 
+    def insert_hashes(self, hv: np.ndarray, value: int = 0,
+                      add: bool = False) -> np.ndarray:
+        """Batched incremental insert of raw hashes — the hot path of
+        streaming state maintenance (streaming.stateful_streaming_dedup).
+        Semantics identical to calling ``insert_hash`` per element in
+        ASCENDING hash order (growth included), but the per-insert
+        Python overhead is hoisted: one index invalidation, one bound-
+        method lookup, one numpy->python materialization for the whole
+        batch, and the ascending order keeps successive ripples inside
+        the same cluster neighborhood (ripple interactions between
+        inserts are inherently sequential — a genuinely vectorized
+        multi-insert is ``from_hashes``/``merge_many``'s bulk rebuild,
+        which wins once the batch is a meaningful fraction of the
+        state; callers pick per the batch/state ratio).
+
+        Returns the 'was already present' booleans aligned to the
+        input order."""
+        hv = np.ascontiguousarray(np.asarray(hv).astype(np.uint64,
+                                                        copy=False))
+        self._index = None
+        out = np.zeros(len(hv), dtype=bool)
+        order = np.argsort(hv, kind="stable")
+        ins = self._insert_hash_nogrow
+        vals = hv[order].tolist()
+        for i, h in zip(order.tolist(), vals):
+            if self.entries >= self.max_entries:
+                self._double()
+            out[i] = ins(h, value, add)
+        return out
+
     def _read(self, slot: int) -> int:
         return self.filter.get(slot)
 

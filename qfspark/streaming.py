@@ -194,6 +194,15 @@ def stream_sketch(
       key-sample (quantiles/sampling over the stream so far)
     * ``kind='kmv'`` (params: k) — running theta sketch (distinct
       count + set algebra via ``sketches.kmv_set_ops``)
+    * ``kind='hll_by'`` (params: by, p) — running PER-GROUP distinct
+      counts (``sketches.hll_registers_by`` state; estimate with
+      ``hll_estimate_by``)
+    * ``kind='bottomk_by'`` (params: by, value_col, k) — running
+      per-group key-sample (``bottomk_quantiles_by`` over the state)
+    * ``kind='mg'`` (params: k, weight_col) — running Misra-Gries
+      heavy hitters; state rows are the summary schema (item, est, err)
+    * ``kind='mg_by'`` (params: by, k, weight_col) — running per-group
+      heavy hitters
 
     Per micro-batch: build the batch's partial sketch, merge it into the
     checkpointed table (max/sum/union — each merge == rebuild exactly,
@@ -201,6 +210,12 @@ def stream_sketch(
     the union of the batches; tested), commit by atomic directory rename
     with recorded batch ids for idempotent re-delivery. State lives in
     the table, not executor memory; stop/resume is a re-read.
+
+    Misra-Gries is the one member whose state is not a pure function of
+    the input multiset (like any MG run, it depends on arrival order):
+    the streamed state satisfies the same guarantee as a batch build
+    over the union — every key within ``est <= true <= est + err`` and
+    ``err <= n/(k+1)`` — rather than row-identity; tested as such.
 
     Returns the StreamingQuery; read the state with
     ``load_stream_sketch`` and feed it to ``sketches.hll_estimate`` /
@@ -238,6 +253,32 @@ def stream_sketch(
                 df, col, params.get("k", 256), hash_scheme=scheme),
             lambda a, b: sketches.kmv_merge(
                 a, b, params.get("k", 256)),
+        ),
+        "hll_by": (
+            lambda df: sketches.hll_registers_by(
+                df, col, params["by"], params.get("p", 12),
+                hash_scheme=scheme),
+            lambda a, b: sketches.hll_merge_by(params["by"], a, b),
+        ),
+        "bottomk_by": (
+            lambda df: sketches.bottomk_sketch_by(
+                df, col, params.get("value_col", col), params["by"],
+                params.get("k", 512), hash_scheme=scheme),
+            lambda a, b: sketches.bottomk_merge_by(
+                a, b, params["by"], params.get("k", 512)),
+        ),
+        "mg": (
+            lambda df: sketches.mg_summary(
+                df, col, params.get("k", 256),
+                weight_col=params.get("weight_col")),
+            lambda a, b: sketches.mg_merge(a, b, params.get("k", 256)),
+        ),
+        "mg_by": (
+            lambda df: sketches.mg_summary_by(
+                df, col, params["by"], params.get("k", 256),
+                weight_col=params.get("weight_col")),
+            lambda a, b: sketches.mg_merge_by(
+                a, b, params["by"], params.get("k", 256)),
         ),
     }
     if kind not in builders:
@@ -337,12 +378,13 @@ def stateful_streaming_dedup(
                     qf = QF.from_hashes(new_hashes, None, qf.config)
                 elif len(new_hashes) * 16 < len(qf):
                     # steady state: per-batch cost stays O(batch), not
-                    # O(state) — incremental ripple-shift inserts into
-                    # the existing filter instead of a decode+rebuild.
-                    # value=1 matches what from_hashes stores for a
-                    # first occurrence (counter parity across branches)
-                    for h in new_hashes.tolist():
-                        qf.insert_hash(int(h), value=1)
+                    # O(state) — one batched ripple-insert pass into
+                    # the existing filter (QF.insert_hashes: sorted
+                    # order, per-insert Python overhead hoisted)
+                    # instead of a decode+rebuild. value=1 matches what
+                    # from_hashes stores for a first occurrence
+                    # (counter parity across branches)
+                    qf.insert_hashes(new_hashes, value=1)
                 else:
                     # batch is large relative to state: one vectorized
                     # rebuild is cheaper than per-key inserts
