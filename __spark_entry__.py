@@ -378,6 +378,18 @@ def _q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketches.mg_bound_check(ev, "user_id", k=128)
 
 
+def _q_heavy_hitters_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped Misra-Gries: per-LANGUAGE heavy-hitter domains over the
+    duplicated crawl (sketches.mg_summary_by — one pass, <= k+1 rows per
+    group per partition). Every domain whose per-lang fetch count
+    exceeds n_lang/(k+1) must be present in that language's summary with
+    its guarantee intact; the oracle recomputes each group's heavy set
+    exactly and expects constant TRUE."""
+    crawl = synthesize_crawl(spark, sf_dir).withColumn(
+        "dom", F.regexp_extract("url", "https://([^.]+)", 1))
+    return sketches.mg_bound_check_by(crawl, "dom", "lang", k=12)
+
+
 #: deterministic "messy crawl" URL variants keyed by doc_id % 5 — the
 #: canonicalization fixtures (upper-cased host, default port, fragment,
 #: unsorted query params); identical CASE text in both engines.
@@ -521,6 +533,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 "k", "v", ["lang"], k=128),
             ["lang"], _SKETCH_QS),
         "heavy_hitters": _q_heavy_hitters,
+        # grouped Misra-Gries: per-language heavy-hitter domains over
+        # the duplicated crawl in ONE pass (mg_summary_by)
+        "heavy_hitters_by_lang": _q_heavy_hitters_by_lang,
         "url_normalize": _q_url_normalize,
         "ams_f2": _q_ams_f2,
         # cluster-aware near-dup: pairs -> connected components (min-id
@@ -765,6 +780,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "heavy_hitters":
             sketches.duckdb_mg_heavy_sql("user_id", 128, "events"),
+        "heavy_hitters_by_lang": sketches.duckdb_mg_heavy_by_sql(
+            "dom", "lang", 12,
+            "(SELECT lang, regexp_extract(url, 'https://([^.]+)', 1)"
+            f" AS dom FROM ({duckdb_crawl_sql()}) AS c) AS s"),
         "near_dup_clusters": dedup.duckdb_connected_components_sql(
             f"({dedup.duckdb_minhash_lsh_pairs_sql(threshold=0.2)})"),
         "decontaminate": textops.duckdb_decontaminate_sql(

@@ -4,7 +4,7 @@ __spark_entry__.queries() entry on Spark and its oracle_sql() twin on
 DuckDB at sf0.01, compare row count, column names, and an
 order-insensitive value digest.
 
-Usage: python scripts/check_correctness.py [sf_dir]
+Usage: python scripts/check_correctness.py [sf_dir] [--only name1,name2]
 """
 
 import hashlib
@@ -47,7 +47,13 @@ def _norm(v):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    argv = list(sys.argv[1:])
+    only = None
+    if "--only" in argv:
+        i = argv.index("--only")
+        only = set(argv[i + 1].split(","))
+        del argv[i:i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     import duckdb
     from pyspark.sql import SparkSession
 
@@ -70,6 +76,8 @@ def main():
     oracles = entry_mod.oracle_sql()
     failures = 0
     for name, fn in qs.items():
+        if only is not None and name not in only:
+            continue
         sdf = fn(spark, sf_dir).toPandas()
         if name not in oracles:
             print(f"{name:28s} rows={len(sdf):8d}  (no oracle: rows-only check)")

@@ -166,6 +166,36 @@ def main():
     check("grouped HLL agg is partial", p11b, r"partial_max|partial")
     check("grouped HLL has no Python", p11b, r"EvalPython",
           must_exist=False)
+
+    # 11c. grouped Misra-Gries (round 4): same shape as MG per group —
+    # the data-sized half is ONE MapInPandas pass (<= k+1 rows per
+    # group per partition), no row-python; the finalize's per-group
+    # (k+1)-th-largest runs as a window over the tiny partial table
+    p11c = plan_of(sketches.mg_partials_by(docs, "source", ["lang"], 8))
+    check("grouped MG partial pass is MapInPandas", p11c, r"MapInPandas")
+    check("grouped MG has no row-python eval", p11c, r"BatchEvalPython",
+          must_exist=False)
+    p11d = plan_of(sketches.mg_summary_by(docs, "source", ["lang"], 8))
+    check("grouped MG finalize is a window over partials", p11d,
+          r"RunningWindowFunction|Window")
+
+    # 11e. distributed quantile bound check (round 4): the exact-rank
+    # verification aggregates conditional counts — no Sort, no
+    # per-row Python; the value column never moves to the driver
+    vdf = docs.selectExpr("CAST(n_chars AS DOUBLE) AS _v")
+    import pyspark.sql.functions as _F
+    aggs = [_F.count(_F.lit(1)).alias("_n")]
+    for i, q in enumerate((0.25, 0.75)):
+        e = _F.lit(100.0 + i)
+        aggs.append(_F.sum((_F.col("_v") < e).cast("long"))
+                    .alias(f"_lt{i}"))
+        aggs.append(_F.sum((_F.col("_v") <= e).cast("long"))
+                    .alias(f"_le{i}"))
+    p11e = plan_of(vdf.agg(*aggs))
+    check("rank check is a partial aggregate", p11e, r"partial")
+    check("rank check has no sort", p11e, r"\bSort\b", must_exist=False)
+    check("rank check has no python", p11e, r"EvalPython",
+          must_exist=False)
     # KMV sketch executes as TakeOrdered (never a full sort)
     p11c = plan_of(sketches.kmv_sketch(wp, "url", 256))
     check("KMV bottom-k is TakeOrdered", p11c,

@@ -290,6 +290,104 @@ def test_stream_sketch_matches_batch(spark, kind, params):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _grouped_stream_fixture(spark, tmp):
+    """Two-file (lang, user) source + the batch-equivalent DataFrame."""
+    import os
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        F.col("event_type").alias("lang"),
+        F.col("user_id").cast("string").alias("user"))
+    src = f"{tmp}/src"
+    os.makedirs(src, exist_ok=True)
+    ev.where("CAST(user AS BIGINT) % 2 = 0").toPandas().to_parquet(
+        f"{src}/b0.parquet")
+    ev.where("CAST(user AS BIGINT) % 2 = 1").toPandas().to_parquet(
+        f"{src}/b1.parquet")
+    stream = (spark.readStream.schema("lang string, user string")
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    return ev, stream
+
+
+@pytest.mark.parametrize("kind,params", [
+    ("hll_by", {"by": ["lang"], "p": 10}),
+    ("bottomk_by", {"by": ["lang"], "value_col": "user", "k": 32}),
+])
+def test_stream_sketch_grouped_matches_batch(spark, kind, params):
+    """Grouped rollup kinds: streamed state row-identical to a batch
+    build over the union of the micro-batches, per group."""
+    from qfspark import sketches
+    from qfspark.streaming import load_stream_sketch, stream_sketch
+
+    tmp = tempfile.mkdtemp(prefix=f"qfsk_{kind}_")
+    state = f"{tmp}/state"
+    try:
+        ev, stream = _grouped_stream_fixture(spark, tmp)
+        q = stream_sketch(stream, "user", state, kind=kind,
+                          trigger={"availableNow": True}, **params)
+        q.awaitTermination(240)
+        got = sorted(map(tuple, load_stream_sketch(spark, state).collect()))
+        if kind == "hll_by":
+            want = sketches.hll_registers_by(
+                ev, "user", params["by"], params["p"])
+        else:
+            want = sketches.bottomk_sketch_by(
+                ev, "user", params["value_col"], params["by"],
+                params["k"])
+        assert got == sorted(map(tuple, want.collect()))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@pytest.mark.parametrize("kind,params", [
+    ("mg", {"k": 32}),
+    ("mg_by", {"by": ["lang"], "k": 32}),
+])
+def test_stream_sketch_mg_guarantee_over_union(spark, kind, params):
+    """Streaming Misra-Gries: arrival-order dependent, so the contract
+    is the GUARANTEE over the union of the batches (est <= true <=
+    est + err, err <= n/(k+1)), not row identity."""
+    from qfspark.streaming import load_stream_sketch, stream_sketch
+
+    tmp = tempfile.mkdtemp(prefix=f"qfsk_{kind}_")
+    state = f"{tmp}/state"
+    try:
+        ev, stream = _grouped_stream_fixture(spark, tmp)
+        q = stream_sketch(stream, "user", state, kind=kind,
+                          trigger={"availableNow": True}, **params)
+        q.awaitTermination(240)
+        rows = load_stream_sketch(spark, state).collect()
+        k = params["k"]
+        if kind == "mg":
+            est = {r.item: r.est for r in rows if r.item is not None}
+            err = sum(r.err for r in rows)
+            true = {r.user: r.cnt for r in
+                    ev.groupBy("user").agg(
+                        F.count(F.lit(1)).alias("cnt")).collect()}
+            n = sum(true.values())
+            assert err * (k + 1) <= n
+            for item, c in true.items():
+                e = est.get(item, 0)
+                assert e <= c <= e + err
+        else:
+            est = {(r.lang, r.item): r.est for r in rows
+                   if r.item is not None}
+            err = {}
+            for r in rows:
+                err[r.lang] = err.get(r.lang, 0) + r.err
+            true = ev.groupBy("lang", "user").agg(
+                F.count(F.lit(1)).alias("cnt")).collect()
+            n_by = {}
+            for r in true:
+                n_by[r.lang] = n_by.get(r.lang, 0) + r.cnt
+            for g, n in n_by.items():
+                assert err[g] * (k + 1) <= n
+            for r in true:
+                e = est.get((r.lang, r.user), 0)
+                assert e <= r.cnt <= e + err[r.lang]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def test_recover_table_crash_windows(spark, tmp_path):
     """Every interruption point of the two-rename commit must recover to
     a consistent state: complete _next rolls forward, incomplete _next
