@@ -138,19 +138,43 @@ def cmd_sketch(args) -> int:
 
     spark, owned, df, col = _read_keys_df(args)
     try:
+        by = [c for c in (args.by or "").split(",") if c]
         if args.what == "distinct":
-            row = sketches.hll_cardinality(df, col, p=args.p).collect()[0]
-            bound = sketches.hll_error_bound(args.p, sigmas=1.0)
-            print(f"distinct ~= {row.estimate:.0f}  "
-                  f"(p={args.p}, +/-{bound:.2%} at 1 sigma)")
+            if by:
+                rows = sketches.hll_cardinality_by(
+                    df, col, by, p=args.p).orderBy(*by).collect()
+                bound = sketches.hll_error_bound(args.p, sigmas=1.0)
+                for r in rows:
+                    g = ",".join(str(r[c]) for c in by)
+                    print(f"{g}\tdistinct ~= {r.estimate:.0f}")
+                print(f"# p={args.p}, +/-{bound:.2%} at 1 sigma per group")
+            else:
+                row = sketches.hll_cardinality(df, col, p=args.p).collect()[0]
+                bound = sketches.hll_error_bound(args.p, sigmas=1.0)
+                print(f"distinct ~= {row.estimate:.0f}  "
+                      f"(p={args.p}, +/-{bound:.2%} at 1 sigma)")
         elif args.what == "topk":
-            sk = sketches.mg_summary(df, col, k=args.k)
-            err = sketches.mg_error(sk).first().err
-            rows = (sketches.mg_estimates(sk)
-                    .orderBy(F.desc("est"), "item").collect())
-            for r in rows:
-                print(f"{r.item}\t[{r.est}, {r.est + err}]")
-            print(f"# {len(rows)} counters; undercount budget err={err}")
+            if by:
+                sk = sketches.mg_summary_by(df, col, by, k=args.k).cache()
+                rows = (sk.where(F.col("item").isNotNull())
+                        .orderBy(*by, F.desc("est"), "item").collect())
+                errs = {tuple(r[c] for c in by): r.err
+                        for r in sk.where(F.col("item").isNull()).collect()}
+                for r in rows:
+                    g = tuple(r[c] for c in by)
+                    err = errs.get(g, 0)
+                    print(f"{','.join(map(str, g))}\t{r.item}"
+                          f"\t[{r.est}, {r.est + err}]")
+                print(f"# k={args.k} counters per group; per-group "
+                      f"undercount budgets {dict((','.join(map(str, g)), e) for g, e in sorted(errs.items()))}")
+            else:
+                sk = sketches.mg_summary(df, col, k=args.k)
+                err = sketches.mg_error(sk).first().err
+                rows = (sketches.mg_estimates(sk)
+                        .orderBy(F.desc("est"), "item").collect())
+                for r in rows:
+                    print(f"{r.item}\t[{r.est}, {r.est + err}]")
+                print(f"# {len(rows)} counters; undercount budget err={err}")
         elif args.what == "quantiles":
             qs = [float(x) for x in args.qs.split(",")]
             vals = df.select(F.col(col).cast("double").alias(col))
@@ -261,6 +285,9 @@ def main(argv=None) -> int:
                          "intersection)")
     sk.add_argument("--column", default=None)
     sk.add_argument("--column-b", default=None)
+    sk.add_argument("--by", default=None,
+                    help="comma-separated group columns (parquet input): "
+                         "per-group distinct/topk rollups in one pass")
     sk.add_argument("--kmv-k", type=int, default=256)
     sk.add_argument("--master", default="local[*]")
     sk.add_argument("--p", type=int, default=12, help="HLL precision")

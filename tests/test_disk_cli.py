@@ -225,6 +225,32 @@ def test_cli_sketch(tmp_path, spark, capsys):
     assert spark.sparkContext._jsc is not None  # session not stopped
 
 
+def test_cli_sketch_grouped(tmp_path, spark, capsys):
+    """`sketch distinct|topk --by g`: per-group rollups in one pass."""
+    import pandas as pd
+
+    from qfspark.cli import main
+
+    pq = str(tmp_path / "grouped.parquet")
+    pd.DataFrame({
+        "g": ["en"] * 300 + ["de"] * 100,
+        "key": [f"e{i % 30}" for i in range(300)]
+               + [f"d{i % 10}" for i in range(100)],
+    }).to_parquet(pq)
+
+    assert main(["sketch", "distinct", "--input", pq, "--column", "key",
+                 "--by", "g"]) == 0
+    out = capsys.readouterr().out
+    assert "en\tdistinct ~= 30" in out and "de\tdistinct ~= 10" in out
+
+    assert main(["sketch", "topk", "--input", pq, "--column", "key",
+                 "--by", "g", "--k", "64"]) == 0
+    out = capsys.readouterr().out
+    # k > distinct per group: exact counts, zero error budget
+    assert "en\te0\t[10, 10]" in out
+    assert "de\td0\t[10, 10]" in out
+
+
 def test_cli_sketch_setops(tmp_path, spark, capsys):
     a = tmp_path / "a.txt"
     b = tmp_path / "b.txt"
