@@ -334,7 +334,8 @@ def main() -> None:
         # mergeable sketch family (sketches.py)
         "hll_url_cardinality", "countmin_url_freq",
         "bloom_url_membership", "bottomk_quantiles",
-        "heavy_hitters", "hll_url_set_ops", "kmv_url_set_ops",
+        "heavy_hitters", "heavy_hitters_by_lang",
+        "hll_url_set_ops", "kmv_url_set_ops",
         "hll_by_lang", "quantiles_by_lang",
         # crawl URL canonicalization + pipeline hygiene
         "url_normalize", "scrub_pii", "decontaminate",

@@ -208,6 +208,8 @@ def cmd_sketch(args) -> int:
                   f"|A u B| ~= {r.est_union:.0f}")
             print(f"jaccard ~= {r.jaccard:.4f}  "
                   f"|A n B| ~= {r.est_intersection:.0f}")
+            print(f"|A \\ B| ~= {r.est_a_minus_b:.0f}  "
+                  f"|B \\ A| ~= {r.est_b_minus_a:.0f}")
     finally:
         if owned:
             spark.stop()

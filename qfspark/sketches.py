@@ -1710,13 +1710,16 @@ def _kmv_est(sketch: DataFrame, k: int, out: str) -> DataFrame:
 
 def kmv_set_ops(a_df: DataFrame, b_df: DataFrame, col: str,
                 k: int = 256, hash_scheme: str = "hash60") -> DataFrame:
-    """One row (est_a, est_b, est_union, jaccard, est_intersection):
-    KMV distinct counts plus theta-sketch-style set algebra — the
-    Jaccard is estimated DIRECTLY (fraction of the union's k smallest
-    hashes present in both input sketches), so the intersection
-    estimate degrades with the true Jaccard rather than with the union
-    size (the weakness of HLL inclusion-exclusion, ``hll_set_ops``).
-    All five values deterministic; DuckDB reproduces them bit-for-bit."""
+    """One row (est_a, est_b, est_union, jaccard, est_intersection,
+    est_a_minus_b, est_b_minus_a): KMV distinct counts plus
+    theta-sketch-style set algebra — the Jaccard is estimated DIRECTLY
+    (fraction of the union's k smallest hashes present in both input
+    sketches), so the intersection estimate degrades with the true
+    Jaccard rather than with the union size (the weakness of HLL
+    inclusion-exclusion, ``hll_set_ops``); the set DIFFERENCES use the
+    same device (fraction of the union sample in exactly one side —
+    the theta-sketch A-not-B estimator). All seven values
+    deterministic; DuckDB reproduces them bit-for-bit."""
     # materialize each k-row sketch once: every sketch feeds 3-4 plan
     # subtrees (estimate, merge, semi-joins) and must not re-run its
     # full-data distinct + top-k per consumer
@@ -1727,19 +1730,33 @@ def kmv_set_ops(a_df: DataFrame, b_df: DataFrame, col: str,
         merged.join(sa, "h", "left_semi").join(sb, "h", "left_semi")
         .agg(F.count(F.lit(1)).alias("_m"))
     )
+    a_only = (
+        merged.join(sa, "h", "left_semi").join(sb, "h", "left_anti")
+        .agg(F.count(F.lit(1)).alias("_ao"))
+    )
+    b_only = (
+        merged.join(sb, "h", "left_semi").join(sa, "h", "left_anti")
+        .agg(F.count(F.lit(1)).alias("_bo"))
+    )
     msize = merged.agg(F.count(F.lit(1)).alias("_ms"))
+
+    def _frac_est(cnt: str, out: str):
+        return F.round(
+            F.round(F.col(cnt) / F.col("_ms"), 6) * F.col("est_union"), 1
+        ).alias(out)
+
     return (
         _kmv_est(sa, k, "est_a")
         .crossJoin(_kmv_est(sb, k, "est_b"))
         .crossJoin(_kmv_est(merged, k, "est_union"))
-        .crossJoin(match).crossJoin(msize)
+        .crossJoin(match).crossJoin(a_only).crossJoin(b_only)
+        .crossJoin(msize)
         .select(
             "est_a", "est_b", "est_union",
             F.round(F.col("_m") / F.col("_ms"), 6).alias("jaccard"),
-            F.round(
-                F.round(F.col("_m") / F.col("_ms"), 6)
-                * F.col("est_union"), 1
-            ).alias("est_intersection"),
+            _frac_est("_m", "est_intersection"),
+            _frac_est("_ao", "est_a_minus_b"),
+            _frac_est("_bo", "est_b_minus_a"),
         )
     )
 
@@ -1775,13 +1792,23 @@ def duckdb_kmv_set_ops_sql(col: str, k: int, source_a: str,
             SELECT COUNT(*) AS ms,
                    SUM(CASE WHEN h IN (SELECT h FROM sa)
                             AND h IN (SELECT h FROM sb)
-                       THEN 1 ELSE 0 END) AS m
+                       THEN 1 ELSE 0 END) AS m,
+                   SUM(CASE WHEN h IN (SELECT h FROM sa)
+                            AND h NOT IN (SELECT h FROM sb)
+                       THEN 1 ELSE 0 END) AS ao,
+                   SUM(CASE WHEN h IN (SELECT h FROM sb)
+                            AND h NOT IN (SELECT h FROM sa)
+                       THEN 1 ELSE 0 END) AS bo
             FROM merged
         )
         SELECT ea.est_a, eb.est_b, eu.est_union,
                round(m / CAST(ms AS DOUBLE), 6) AS jaccard,
                round(round(m / CAST(ms AS DOUBLE), 6) * eu.est_union, 1)
-                   AS est_intersection
+                   AS est_intersection,
+               round(round(ao / CAST(ms AS DOUBLE), 6) * eu.est_union, 1)
+                   AS est_a_minus_b,
+               round(round(bo / CAST(ms AS DOUBLE), 6) * eu.est_union, 1)
+                   AS est_b_minus_a
         FROM {est('sa', 'est_a')} ea,
              {est('sb', 'est_b')} eb,
              {est('merged', 'est_union')} eu,

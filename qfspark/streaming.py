@@ -405,6 +405,64 @@ def stateful_streaming_dedup(
     )
 
 
+def windowed_distinct_counts(
+    stream_df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    window: str = "10 minutes",
+    watermark: str = "30 minutes",
+    p: int = 12,
+    hash_scheme: str = "hash60",
+) -> DataFrame:
+    """Approximate DISTINCT keys per event-time window (e.g. distinct
+    urls fetched per 10-minute window): HLL registers maintained as a
+    native windowed streaming aggregation —
+    groupBy(window, bucket).max(rho) with a watermark, so Spark's own
+    state store holds at most 2^p register rows per open window and
+    evicts closed windows. No custom state function: the register max
+    IS a Catalyst aggregate, which keeps the whole operator JVM-side.
+
+    Returns the streaming register table (window_start, window_end,
+    bucket, rho_max) in append mode (rows emitted when the watermark
+    closes a window); feed collected/stored rows to
+    ``sketches.hll_estimate_by(regs, ["window_start", "window_end"], p)``
+    for the per-window estimates. Closed-window rows are row-identical
+    to a batch ``hll_registers_by`` over the same data (tested)."""
+    from .sketches import HASH_BITS, sketch_hash
+
+    if not (4 <= p <= 18):
+        raise ValueError(f"p must be in [4, 18], got {p}")
+    m = 1 << p
+    w_bits = HASH_BITS - p
+    h = sketch_hash(key_col, hash_scheme)
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .where(F.col(key_col).isNotNull())
+        .select(
+            F.window(F.col(ts_col), window).alias("w"),
+            F.expr(h).alias("_h"),
+        )
+        .select(
+            "w",
+            F.expr(f"CAST(pmod(_h, {m}) AS INT)").alias("bucket"),
+            F.expr(
+                f"CAST(CASE WHEN shiftrightunsigned(_h, {p}) = 0 "
+                f"THEN {w_bits + 1} "
+                f"ELSE {w_bits} - length(bin(shiftrightunsigned(_h, {p})))"
+                f" + 1 END AS INT)"
+            ).alias("rho"),
+        )
+        .groupBy("w", "bucket")
+        .agg(F.max("rho").alias("rho_max"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "bucket",
+            "rho_max",
+        )
+    )
+
+
 def windowed_key_counts(
     stream_df: DataFrame,
     ts_col: str,

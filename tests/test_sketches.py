@@ -515,6 +515,12 @@ def test_kmv_set_ops_accuracy(spark):
     assert abs(row.jaccard - 1 / 3) < 0.1
     # the KMV intersection tracks the true Jaccard, not the union size
     assert abs(row.est_intersection - 4000) / 4000 < 0.3
+    # theta-style A-not-B: true |A\B| = |B\A| = 4000
+    assert abs(row.est_a_minus_b - 4000) / 4000 < 0.3
+    assert abs(row.est_b_minus_a - 4000) / 4000 < 0.3
+    # the three disjoint parts partition the union estimate
+    assert abs((row.est_intersection + row.est_a_minus_b
+                + row.est_b_minus_a) - row.est_union) < 2.0
 
 
 def test_kmv_merge_equals_rebuild(spark):
@@ -531,6 +537,7 @@ def test_kmv_small_set_is_exact(spark):
         _keys(spark, 50), _keys(spark, 30), "key", k=256).collect()[0]
     assert (row.est_a, row.est_b, row.est_union) == (50.0, 30.0, 50.0)
     assert row.est_intersection == 30.0 and row.jaccard == 0.6
+    assert row.est_a_minus_b == 20.0 and row.est_b_minus_a == 0.0
 
 
 def test_kmv_matches_duckdb(spark, tmp_path):
@@ -548,7 +555,8 @@ def test_kmv_matches_duckdb(spark, tmp_path):
     want = con.sql(sketches.duckdb_kmv_set_ops_sql(
         "key", 200, "sa_src", "sb_src")).fetchone()
     assert (got.est_a, got.est_b, got.est_union, got.jaccard,
-            got.est_intersection) == want
+            got.est_intersection, got.est_a_minus_b,
+            got.est_b_minus_a) == want
 
 
 # ---------------------------------------------------------------------------

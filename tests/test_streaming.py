@@ -75,6 +75,71 @@ def test_windowed_key_counts_with_watermark(spark):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def test_windowed_distinct_counts_matches_batch(spark):
+    """Per-window HLL registers as a native windowed streaming agg:
+    closed-window rows must be row-identical to a batch
+    hll_registers_by over the same data, and the estimates must land
+    within the HLL bound of the exact per-window distinct count."""
+    import os
+
+    from qfspark import sketches
+    from qfspark.streaming import windowed_distinct_counts
+
+    tmp = tempfile.mkdtemp(prefix="qfwdc_")
+    src = f"{tmp}/src"
+    try:
+        ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+            "ts", F.col("user_id").cast("string").alias("user"))
+        os.makedirs(src, exist_ok=True)
+        ev.toPandas().to_parquet(
+            f"{src}/all.parquet", coerce_timestamps="us",
+            allow_truncated_timestamps=True)
+
+        stream = spark.readStream.schema(
+            "ts timestamp, user string").parquet(src)
+        p = 10
+        regs = windowed_distinct_counts(
+            stream, "ts", "user", window="1 hour",
+            watermark="1 minute", p=p)
+        q = (regs.writeStream.format("memory").queryName("win_regs")
+             .outputMode("append")
+             .option("checkpointLocation", f"{tmp}/ckpt")
+             .trigger(availableNow=True).start())
+        q.awaitTermination(240)
+        got = spark.sql("SELECT * FROM win_regs")
+        got_rows = {(r.window_start, r.bucket): r.rho_max
+                    for r in got.collect()}
+        assert got_rows, "no windows emitted"
+
+        batch = ev.select(
+            F.window("ts", "1 hour").alias("w"), "user"
+        ).select(F.col("w.start").alias("window_start"),
+                 F.col("w.end").alias("window_end"), "user")
+        want_regs = sketches.hll_registers_by(
+            batch, "user", ["window_start", "window_end"], p)
+        want_rows = {(r.window_start, r.bucket): r.rho_max
+                     for r in want_regs.collect()}
+        for k, v in got_rows.items():
+            assert want_rows[k] == v, k
+
+        # estimates from the emitted registers within the HLL bound
+        est = {r.window_start: r.estimate
+               for r in sketches.hll_estimate_by(
+                   got, ["window_start", "window_end"], p).collect()}
+        exact = {r.window_start: r.d for r in batch.groupBy(
+            "window_start").agg(
+            F.countDistinct("user").alias("d")).collect()}
+        bound = sketches.hll_error_bound(p, 4.0)
+        for ws, e in est.items():
+            # tiny windows live in the linear-counting regime where a
+            # single bucket collision moves the estimate by ~1: allow
+            # a Poisson-scale absolute slack alongside the HLL bound
+            tol = max(bound * exact[ws], 3.0 * exact[ws] ** 0.5)
+            assert abs(e - exact[ws]) <= tol, ws
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def test_stateful_streaming_dedup(spark):
     """applyInPandasWithState dedup with sketch state: across micro-batches
     every key is emitted exactly once, on first occurrence."""
