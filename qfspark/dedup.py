@@ -597,8 +597,19 @@ def simhash_pairs(df: DataFrame, col: str = "text",
     fingerprint groups directly for a keep/drop decision at 10^12 scale).
     """
     # pigeonhole completeness: with (max_hamming + 1) bands, any pair
-    # within the distance bound agrees on at least one whole band
-    sh = simhash(df, col)
+    # within the distance bound agrees on at least one whole band.
+    # Persist the fingerprint table: its lineage (the 60-aggregate vote
+    # groupBy over exploded tokens — the expensive stage, and one that
+    # exceeds whole-stage codegen's expression budget) is consumed by
+    # SEVEN plan subtrees below (banding x2 through the self-join, the
+    # two cross re-attach joins, the hamming-0 self-join x2, plus the
+    # distinct); unpersisted it re-runs per consumer. 16 bytes/doc,
+    # MEMORY_AND_DISK; lifetime as for the LSH pair cache
+    # (release_pair_caches).
+    from pyspark import StorageLevel
+
+    sh = _track_cache(
+        simhash(df, col).persist(StorageLevel.MEMORY_AND_DISK))
     banded = simhash_banded_fingerprints(sh, max_hamming)
     cand_fp = (
         banded.alias("a")

@@ -113,6 +113,13 @@ def main():
     p7 = plan_of(dedup.minhash_lsh_pairs(docs_small, threshold=0.2))
     check("LSH candidate pairs read from cache", p7, r"InMemoryTableScan")
 
+    # 7b. simhash fingerprint table is persisted (round 4): its 60-
+    # aggregate vote lineage feeds seven subtrees of simhash_pairs
+    p7b = plan_of(dedup.simhash_pairs(docs_small, max_hamming=2))
+    check("simhash fingerprints read from cache", p7b,
+          r"InMemoryTableScan")
+    dedup.release_pair_caches()
+
     # 8. ANN candidate generation: the (t, bucket) self-join carries ids
     # only — no embedding column anywhere in the candidate subtree
     from qfspark import similarity
