@@ -557,7 +557,12 @@ def build_sharded_qf(
         if dup_ratio >= 4:
             exchange = "combine"
         else:
-            rows_per_shard = hashed.count() / (1 << sb)
+            # scan-free estimate (plan stats / parquet footers): the
+            # guard only needs order-of-magnitude rows/shard, and the
+            # exact count would cost one extra full pass per build
+            from .sources import approx_row_count
+
+            rows_per_shard = approx_row_count(hashed) / (1 << sb)
             exchange = ("storage"
                         if rows_per_shard > ARROW_MAX_ROWS_PER_SHARD
                         else "arrow")

@@ -121,52 +121,9 @@ def cosine_topk(df: DataFrame, queries: DataFrame | None = None,
     )
 
 
-def approx_row_count(df: DataFrame, sample_files: int = 64) -> int:
-    """Best-effort row-count estimate WITHOUT scanning the data — used
-    to derive LSH plane counts when the caller doesn't pass one.
-    ``planes_for`` consumes the estimate at log2 granularity, so a small
-    constant-factor error is equivalent to the exact count (a ±10%
-    estimate changes the plane count only at power-of-2 boundaries).
-
-    Strategy ladder:
-      1. Catalyst optimized-plan statistics (exact under CBO / cached
-         relations).
-      2. Parquet FOOTER metadata of the scan's input files — reads
-         ``min(sample_files, |files|)`` footers driver-side (metadata
-         pages only, no data IO) and scales by the file count; exact
-         when every footer is read. Pre-filter count: an upstream
-         filter makes this an overestimate, which only over-sizes the
-         bucket count (safe direction).
-      3. ``df.count()`` — the explicit fallback for in-memory / exotic
-         sources; the one remaining driver action, on a column-pruned
-         scan.
-    """
-    try:
-        rc = df._jdf.queryExecution().optimizedPlan().stats().rowCount()
-        if rc.isDefined():
-            return int(str(rc.get()))
-    except Exception:
-        pass
-    try:
-        files = df.inputFiles()
-    except Exception:
-        files = []
-    if files:
-        try:
-            import pyarrow.parquet as pq
-
-            paths = sorted(f[len("file:"):] if f.startswith("file:")
-                           else f for f in files
-                           if not f.startswith(("hdfs:", "s3:", "s3a:")))
-            if paths and len(paths) == len(files):
-                step = max(1, len(paths) // sample_files)
-                sampled = paths[::step][:sample_files]
-                rows = sum(pq.ParquetFile(p).metadata.num_rows
-                           for p in sampled)
-                return max(1, int(rows / len(sampled) * len(paths)))
-        except Exception:
-            pass
-    return df.count()
+# scan-free row-count estimate for defaulted LSH plane counts;
+# canonical implementation lives with the table utilities
+from .sources import approx_row_count  # noqa: E402,F401  (re-export)
 
 
 def planes_for(n: int, target_bucket: int = 64,

@@ -77,3 +77,51 @@ def write_checkpoint(df: DataFrame, location: str, fmt: str = "auto",
             df.writeTo(location).append()
         return
     df.write.mode(mode).parquet(location)
+
+
+def approx_row_count(df: DataFrame, sample_files: int = 64) -> int:
+    """Best-effort row-count estimate WITHOUT scanning the data — for
+    callers that size a data structure from the corpus size at log2
+    granularity (LSH plane counts, rows-per-shard exchange guards),
+    where a small constant-factor error is equivalent to the exact
+    count.
+
+    Strategy ladder:
+      1. Catalyst optimized-plan statistics (exact under CBO / cached
+         relations / local relations).
+      2. Parquet FOOTER metadata of the scan's input files — reads
+         ``min(sample_files, |files|)`` footers driver-side (metadata
+         pages only, no data IO) and scales by the file count; exact
+         when every footer is read. Pre-filter count: an upstream
+         filter makes this an overestimate, which only over-sizes the
+         derived structure (safe direction).
+      3. ``df.count()`` — the explicit fallback for in-memory / exotic
+         sources; the one remaining driver action, on a column-pruned
+         scan.
+    """
+    try:
+        rc = df._jdf.queryExecution().optimizedPlan().stats().rowCount()
+        if rc.isDefined():
+            return int(str(rc.get()))
+    except Exception:
+        pass
+    try:
+        files = df.inputFiles()
+    except Exception:
+        files = []
+    if files:
+        try:
+            import pyarrow.parquet as pq
+
+            paths = sorted(f[len("file:"):] if f.startswith("file:")
+                           else f for f in files
+                           if not f.startswith(("hdfs:", "s3:", "s3a:")))
+            if paths and len(paths) == len(files):
+                step = max(1, len(paths) // sample_files)
+                sampled = paths[::step][:sample_files]
+                rows = sum(pq.ParquetFile(p).metadata.num_rows
+                           for p in sampled)
+                return max(1, int(rows / len(sampled) * len(paths)))
+        except Exception:
+            pass
+    return df.count()
