@@ -325,6 +325,43 @@ def test_resume_append_aligns_to_legacy_checkpoint_schema(spark,
 
 
 # ---------------------------------------------------------------------------
+# scan-free LSH sizing (approx_row_count)
+# ---------------------------------------------------------------------------
+
+def test_lsh_default_planes_without_full_scan(spark, monkeypatch):
+    """Defaulted plane counts on parquet-backed input must come from
+    plan statistics / parquet footers — never a df.count() scan (the
+    pre-0.4.0 behavior). count() is booby-trapped; deriving the plan
+    must not trip it."""
+    from .conftest import SF_DIR_001
+
+    emb = spark.read.parquet(f"{SF_DIR_001}/embeddings.parquet")
+    cls = type(emb)
+
+    def boom(self):
+        raise AssertionError("full count() scan for defaulted planes")
+
+    monkeypatch.setattr(cls, "count", boom)
+    from qfspark import dedup, similarity
+
+    similarity.lsh_cosine_topk(emb, k=3, tables=2)  # planes defaulted
+    dedup.embedding_near_dup(emb, threshold=0.95, method="lsh")
+
+
+def test_approx_row_count_ladder(spark):
+    from .conftest import SF_DIR_001
+    from qfspark.sources import approx_row_count
+
+    emb = spark.read.parquet(f"{SF_DIR_001}/embeddings.parquet")
+    exact = emb.count()
+    assert approx_row_count(emb) == exact  # footers: exact, no scan
+    import pandas as pd
+
+    mem = spark.createDataFrame(pd.DataFrame({"a": range(123)}))
+    assert approx_row_count(mem) == 123  # fallback path
+
+
+# ---------------------------------------------------------------------------
 # batched incremental insert (QF.insert_hashes)
 # ---------------------------------------------------------------------------
 
