@@ -99,9 +99,15 @@ def qf_to_bytes(qf) -> bytes:
 
 
 def qf_from_bytes(payload: bytes):
-    """Deserialize a native-format filter."""
+    """Deserialize a native-format filter. Raises ``ValueError`` on any
+    malformed payload (truncated, wrong magic, wrong version) — never a
+    bare ``struct.error``, which callers cannot distinguish from a bug."""
     from .kernel import QF
 
+    if len(payload) < struct.calcsize("<4sHBBBBHQ"):
+        raise ValueError(
+            f"payload too short ({len(payload)} bytes); not a qfspark "
+            "filter")
     magic, version, flags, q_bits, counter_bits, hlen, _, entries = struct.unpack_from(
         "<4sHBBBBHQ", payload, 0
     )

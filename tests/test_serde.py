@@ -120,6 +120,12 @@ def test_corrupt_payload_clean_errors():
     with pytest.raises(ValueError):
         qf_from_bytes(b"garbage-not-a-filter")
 
+    # payloads SHORTER than the fixed header must also raise ValueError
+    # (pre-0.4.0: a bare struct.error callers can't tell from a bug)
+    for bad_short in (b"", b"garbage", blob[:19]):
+        with pytest.raises(ValueError, match="too short"):
+            qf_from_bytes(bad_short)
+
 
 def test_gqf_geometry_validation():
     import struct
