@@ -66,9 +66,15 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # brings its own memory bandwidth.
 SCALE_LEVELS = (2, 8)
 # Replicate lineitem keys deterministically so the scaling job is
-# compute-dominated (~24M rows at sf0.1): sustained-throughput scaling
-# cannot be measured on a seconds-long job.
-SCALE_MULT = 40
+# compute-dominated: sustained-throughput scaling cannot be measured on
+# a seconds-long job. 80x (~48M rows at sf0.1) keeps the local[8] trial
+# ~4-5 s: at the round-3 workload (40x, ~2.1 s at local[8]) the fixed
+# per-stage scheduling/setup cost (~0.3-0.5 s) was a visible fraction
+# of the hi level and depressed measured raw efficiency by ~0.05-0.1.
+SCALE_MULT = int(os.environ.get("SPARK_GRAFT_SCALE_MULT", "80"))
+# the per-query sharded-build rows keep the round-1..3 workload so the
+# cqf_build_sharded_*_24m medians stay comparable across rounds
+QUERY_BUILD_MULT = 40
 # scaling windows: one window = (job@lo, hw@lo, job@hi, hw@hi) run
 # back-to-back; we keep collecting windows until CLEAN_WINDOWS of them
 # are non-pathological (or MAX_WINDOWS attempted)
@@ -121,7 +127,8 @@ def _scaling_keys(spark, sf_dir: str, mult: int, cores: int):
     ).select(F.concat("base", F.lit("#"), F.col("i").cast("string")).alias("key"))
 
 
-def _sharded_build_once(spark, keys, cores: int, exchange: str = "storage") -> float:
+def _sharded_build_once(spark, keys, cores: int, exchange: str = "storage",
+                        shard_bits: int = 5) -> float:
     """One timed sharded build producing a durable artifact: payload
     sidecars + (storage mode) the spill exchange, all on RAM-backed
     storage — on a real cluster every executor writes to node-local or
@@ -144,7 +151,8 @@ def _sharded_build_once(spark, keys, cores: int, exchange: str = "storage") -> f
     try:
         t0 = time.time()
         shards = build_sharded_qf(
-            keys, "key", shard_bits=5, config=cfg, exchange=exchange,
+            keys, "key", shard_bits=shard_bits, config=cfg,
+            exchange=exchange,
             payload_dir=paydir, spill_dir=os.path.join(tmp, "spill"),
         )
         shards.agg(F.sum("entries")).collect()
@@ -171,14 +179,23 @@ def scale_run(cores: int, exchange: str = "storage") -> None:
 
     keys.limit(100000).mapInPandas(_noop, "n long").collect()
 
+    # shard count scales with the workload so rows-per-shard stays at
+    # the library's own sizing guidance (~0.75M here): a fixed shard
+    # count at a bigger workload balloons the per-shard fat rows and
+    # GC-degrades the SMALL level disproportionately, inflating the
+    # measured efficiency — an artifact, not scaling
+    sb = 5 + max(0, (SCALE_MULT // 40).bit_length() - 1)
+
     # one UNTIMED warmup build: the first build in a fresh JVM pays JIT
     # compilation of the parquet writer and first-touch page faults on
     # the kernel's table allocations (this box shows a ~2-3x cold-start
     # cliff; see BENCH/BASELINE.md) — steady-state throughput is what
     # the north rule's two-cluster-size comparison is about
-    _sharded_build_once(spark, keys, cores, exchange=exchange)
+    _sharded_build_once(spark, keys, cores, exchange=exchange,
+                        shard_bits=sb)
 
-    sec = _sharded_build_once(spark, keys, cores, exchange=exchange)
+    sec = _sharded_build_once(spark, keys, cores, exchange=exchange,
+                              shard_bits=sb)
     print(json.dumps({"cores": cores, "rows": n, "sec": round(sec, 3),
                       "exchange": exchange}))
     spark.stop()
@@ -284,6 +301,10 @@ def _scaling_evidence() -> dict:
         # ceiling; a real cluster adds bandwidth with every node)
         "hw_ceiling_efficiency": round(med_hw_eff, 3),
         "normalized_efficiency": round(min(med_norm, 1.0), 3),
+        "normalized_efficiency_uncapped": round(med_norm, 3),
+        # adjudication margins: how far each criterion is from its gate
+        "margin_raw": round(med_raw - 0.8, 3),
+        "margin_normalized": round(med_norm - 1.0, 3),
         "windows": windows,
         "clean_windows": len(clean),
         "pathological_windows": len(windows) - len(clean),
@@ -394,10 +415,11 @@ def main() -> None:
                                            hash_name="xxhash64")))
     keys6m.unpersist()
 
-    # headline: sharded durable build on the scaling workload, both
-    # exchange strategies (the first trial in this JVM pays JIT +
-    # first-touch costs; the median absorbs it)
-    keys = _scaling_keys(spark, SF_DIR, SCALE_MULT, CPUS).cache()
+    # headline: sharded durable build at the round-1..3 workload (24M
+    # at sf0.1 — QUERY_BUILD_MULT keeps these rows cross-round
+    # comparable), both exchange strategies (the first trial in this
+    # JVM pays JIT + first-touch costs; the median absorbs it)
+    keys = _scaling_keys(spark, SF_DIR, QUERY_BUILD_MULT, CPUS).cache()
     rows_built = keys.count()
     timed(f"cqf_build_sharded_arrow_{rows_built // 1_000_000}m",
           lambda: _sharded_build_once(spark, keys, CPUS, exchange="arrow"))

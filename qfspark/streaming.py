@@ -284,6 +284,9 @@ def stream_sketch(
     if kind not in builders:
         raise ValueError(f"unknown sketch kind {kind!r}; "
                          f"expected one of {sorted(builders)}")
+    if kind.endswith("_by") and "by" not in params:
+        raise ValueError(
+            f"kind={kind!r} requires params['by'] (group column list)")
     build_fn, merge_fn = builders[kind]
     spark = stream_df.sparkSession
     table_path = os.path.join(state_path, "sketch")
