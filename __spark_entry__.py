@@ -369,6 +369,28 @@ def _q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         wp.where(did % 3 != 0), wp.where(did % 2 == 0), "url", k=128)
 
 
+def _q_hll_by_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-HOUR distinct-user rollup over the events stream — the batch
+    twin of streaming.windowed_distinct_counts (same register shape:
+    one grouped-HLL pass keyed by the event-time bucket); estimates
+    bit-exact vs DuckDB, exact count + bound as checked columns."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.date_trunc("hour", F.col("ts")).cast("string").alias("hour"),
+        F.col("user_id").cast("string").alias("user"))
+    est = sketches.hll_cardinality_by(ev, "user", ["hour"], p=10)
+    exact = ev.groupBy("hour").agg(
+        F.countDistinct("user").cast("long").alias("exact_distinct"))
+    bound = sketches.hll_error_bound(10, sigmas=3.0)
+    return (
+        est.join(exact, "hour")
+        .withColumn(
+            "rel_err",
+            F.round(F.abs(F.col("estimate") - F.col("exact_distinct"))
+                    / F.col("exact_distinct"), 4))
+        .withColumn("within_bound", F.col("rel_err") <= F.lit(bound))
+    )
+
+
 def _q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Misra-Gries frequent users over the events stream: every true
     heavy hitter (count > n/(k+1)) must be present with its undercount
@@ -522,6 +544,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # grouped rollup: one HLL per language in a single pass, next
         # to the exact per-group distinct count
         "hll_by_lang": _q_hll_by_lang,
+        # event-time-bucketed distinct rollup: the batch twin of
+        # streaming.windowed_distinct_counts
+        "hll_by_hour": _q_hll_by_hour,
         # per-language doc-length quantiles from a grouped bottom-k
         # sample (deterministic sample -> estimates bit-exact)
         "quantiles_by_lang": lambda s, d: sketches.bottomk_quantiles_by(
@@ -754,6 +779,29 @@ def oracle_sql() -> dict[str, str]:
                        <= {sketches.hll_error_bound(10, 3.0)!r}
                        AS within_bound
             FROM est e JOIN exact x USING (lang)
+        """,
+        "hll_by_hour": f"""
+            WITH ev AS (
+                SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour,
+                       CAST(user_id AS VARCHAR) AS user
+                FROM events
+            ),
+            est AS ({sketches.duckdb_hll_by_sql("user", ["hour"], 10,
+                                                "ev")}),
+            exact AS (
+                SELECT hour, CAST(COUNT(DISTINCT user) AS BIGINT)
+                       AS exact_distinct
+                FROM ev GROUP BY hour
+            )
+            SELECT e.hour, e.nonempty_buckets, e.zero_buckets,
+                   e.sum_scaled, e.estimate, x.exact_distinct,
+                   round(abs(e.estimate - x.exact_distinct)
+                         / x.exact_distinct, 4) AS rel_err,
+                   round(abs(e.estimate - x.exact_distinct)
+                         / x.exact_distinct, 4)
+                       <= {sketches.hll_error_bound(10, 3.0)!r}
+                       AS within_bound
+            FROM est e JOIN exact x USING (hour)
         """,
         "quantiles_by_lang": sketches.duckdb_bottomk_quantiles_by_sql(
             "k", "v", ["lang"], 128, _SKETCH_QS,
