@@ -391,6 +391,17 @@ def _q_hll_by_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority sampling (Duffield-Lund-Thorup): a weight-sensitive
+    128-document sample by byte size with unbiased subset-sum
+    estimates (est_weight = max(w, tau)); the sample AND the estimates
+    are deterministic (hash-derived priorities), so the oracle
+    reproduces them value-exactly."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sk = sketches.priority_sample(docs, "doc_id", "n_chars", k=128)
+    return sketches.priority_estimates(sk, k=128)
+
+
 def _q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Misra-Gries frequent users over the events stream: every true
     heavy hitter (count > n/(k+1)) must be present with its undercount
@@ -557,6 +568,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     "lang"),
                 "k", "v", ["lang"], k=128),
             ["lang"], _SKETCH_QS),
+        # weight-sensitive document sampling with unbiased subset sums
+        "priority_sample": _q_priority_sample,
         "heavy_hitters": _q_heavy_hitters,
         # grouped Misra-Gries: per-language heavy-hitter domains over
         # the duplicated crawl in ONE pass (mg_summary_by)
@@ -826,6 +839,8 @@ def oracle_sql() -> dict[str, str]:
                 "(SELECT url FROM wp WHERE CAST(regexp_extract(url, "
                 "'([0-9]+)$', 1) AS BIGINT) % 2 = 0)")}
         """,
+        "priority_sample": sketches.duckdb_priority_sample_sql(
+            "doc_id", "n_chars", 128, "documents"),
         "heavy_hitters":
             sketches.duckdb_mg_heavy_sql("user_id", 128, "events"),
         "heavy_hitters_by_lang": sketches.duckdb_mg_heavy_by_sql(

@@ -355,9 +355,9 @@ def main() -> None:
         # mergeable sketch family (sketches.py)
         "hll_url_cardinality", "countmin_url_freq",
         "bloom_url_membership", "bottomk_quantiles",
-        "heavy_hitters", "heavy_hitters_by_lang",
+        "heavy_hitters", "heavy_hitters_by_lang", "priority_sample",
         "hll_url_set_ops", "kmv_url_set_ops",
-        "hll_by_lang", "quantiles_by_lang",
+        "hll_by_lang", "hll_by_hour", "quantiles_by_lang",
         # crawl URL canonicalization + pipeline hygiene
         "url_normalize", "scrub_pii", "decontaminate",
     ]

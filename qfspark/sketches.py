@@ -831,6 +831,105 @@ def duckdb_bottomk_quantiles_sql(key_col: str, value_col: str, k: int,
 
 
 # ===========================================================================
+# priority sampling (weighted sample + unbiased subset sums)
+# ===========================================================================
+
+def priority_sample(df: DataFrame, key_col: str, weight_col: str,
+                    k: int = 256,
+                    hash_scheme: str = "hash60") -> DataFrame:
+    """(key, w, priority) sketch of k+1 rows: the k+1 largest
+    priorities q(key) = w / u(key), with u(key) = (hash60(key)+1)/2^60
+    a deterministic uniform in (0, 1] — Duffield, Lund & Thorup's
+    priority sampling (JACM 2007). The k highest-priority keys form a
+    weight-sensitive sample; the (k+1)-th priority is the threshold
+    tau, and estimating every sampled key's weight as max(w, tau)
+    makes any subset-sum estimate UNBIASED with near-optimal variance.
+    Heavy items (w >= tau) are included with certainty — exactly the
+    property a training-data pipeline wants when sampling documents by
+    byte size: big documents always surveyed, small ones sampled
+    proportional to weight.
+
+    Deterministic (hash-derived u, total tie order priority desc /
+    key), so DuckDB reproduces the sample and the estimates exactly.
+    Executes as TakeOrdered (per-partition top-(k+1) + driver merge) —
+    no shuffle of the data. Mergeable EXACTLY like bottom-k: the
+    top-(k+1) of a union is the top-(k+1) of concatenated sketches
+    (``priority_sample_merge``). Rows with NULL or non-positive weight
+    are excluded (a zero-weight row can never be sampled)."""
+    h = sketch_hash("key", hash_scheme)
+    u = f"(CAST({h} AS DOUBLE) + 1.0) / {float(1 << HASH_BITS)!r}"
+    return (
+        df.where(F.col(key_col).isNotNull()
+                 & F.col(weight_col).isNotNull()
+                 & (F.col(weight_col) > 0))
+        .select(F.col(key_col).cast("string").alias("key"),
+                F.col(weight_col).cast("double").alias("w"))
+        .withColumn("priority", F.expr(f"w / ({u})"))
+        .orderBy(F.desc("priority"), "key")
+        .limit(k + 1)
+    )
+
+
+def priority_sample_merge(a: DataFrame, b: DataFrame,
+                          k: int = 256) -> DataFrame:
+    """Merge two priority sketches built with the same k: exact (the
+    global top-(k+1) lives in the union of per-part top-(k+1)s)."""
+    return (a.unionByName(b)
+            .orderBy(F.desc("priority"), "key").limit(k + 1))
+
+
+def priority_estimates(sketch_df: DataFrame, k: int = 256) -> DataFrame:
+    """(key, w, est_weight) for the k sampled keys: est_weight =
+    max(w, tau) with tau the (k+1)-th priority (0 when the input had
+    <= k keys — then every weight is exact). sum(est_weight) over the
+    sampled keys matching ANY predicate is an unbiased estimate of
+    that subset's true weight sum."""
+    ranked = sketch_df.orderBy(F.desc("priority"), "key")
+    tau = (ranked.offset(k).limit(1)
+           .agg(F.coalesce(F.max("priority"), F.lit(0.0)).alias("_tau")))
+    return (
+        ranked.limit(k).crossJoin(tau)
+        .select(
+            "key", "w",
+            F.round(F.greatest(F.col("w"), F.col("_tau")), 6)
+            .alias("est_weight"),
+        )
+    )
+
+
+def duckdb_priority_sample_sql(key_col: str, weight_col: str, k: int,
+                               source: str) -> str:
+    """Oracle twin of priority_sample + priority_estimates: the
+    identical sample and estimates, value-exact."""
+    h = duckdb_hash60("key")
+    u = f"(CAST({h} AS DOUBLE) + 1.0) / {float(1 << HASH_BITS)!r}"
+    return f"""
+        WITH scored AS (
+            SELECT key, w, w / ({u}) AS priority FROM (
+                SELECT CAST({key_col} AS VARCHAR) AS key,
+                       CAST({weight_col} AS DOUBLE) AS w
+                FROM {source}
+                WHERE {key_col} IS NOT NULL AND {weight_col} IS NOT NULL
+                  AND {weight_col} > 0
+            )
+        ),
+        sk AS (
+            SELECT * FROM scored ORDER BY priority DESC, key
+            LIMIT {k + 1}
+        ),
+        tau AS (
+            SELECT COALESCE(MAX(priority), 0.0) AS tau FROM (
+                SELECT priority FROM sk ORDER BY priority DESC, key
+                OFFSET {k} LIMIT 1
+            )
+        )
+        SELECT key, w, round(GREATEST(w, tau), 6) AS est_weight
+        FROM (SELECT * FROM sk ORDER BY priority DESC, key LIMIT {k}),
+             tau
+    """
+
+
+# ===========================================================================
 # t-digest (Python kernel; merging variant, Dunning & Ertl 2019)
 # ===========================================================================
 

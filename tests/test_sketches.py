@@ -713,3 +713,77 @@ def test_sketch_snapshot_time_travel(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="no snapshot v=9"):
         sketches.read_sketch(spark, path, version=9)
+
+
+# ---------------------------------------------------------------------------
+# priority sampling (Duffield-Lund-Thorup)
+# ---------------------------------------------------------------------------
+
+def _weighted(spark, n=2000):
+    """Zipf-ish weights: key i has weight 10000 // (i + 1)."""
+    return spark.range(n).selectExpr(
+        "concat('k', id) AS key",
+        "CAST(10000 / (id + 1) AS LONG) AS w")
+
+
+def test_priority_sample_subset_sum_unbiased_shape(spark):
+    df = _weighted(spark)
+    k = 256
+    est = sketches.priority_estimates(
+        sketches.priority_sample(df, "key", "w", k), k).cache()
+    rows = est.collect()
+    assert len(rows) == k
+    true_total = sum(10000 // (i + 1) for i in range(2000))
+    got_total = sum(r.est_weight for r in rows)
+    # deterministic single draw: within ~3/sqrt(k) of the truth
+    assert abs(got_total - true_total) / true_total < 3 / (k ** 0.5)
+    # heavy keys (w >= tau) are sampled with certainty and estimated
+    # EXACTLY: the largest weights must appear with est == w
+    by_key = {r.key: r for r in rows}
+    assert "k0" in by_key and by_key["k0"].est_weight == 10000.0
+
+
+def test_priority_sample_merge_equals_rebuild(spark):
+    df = _weighted(spark)
+    a = sketches.priority_sample(
+        df.where("CAST(substr(key, 2) AS LONG) % 2 = 0"), "key", "w", 64)
+    b = sketches.priority_sample(
+        df.where("CAST(substr(key, 2) AS LONG) % 2 = 1"), "key", "w", 64)
+    whole = sketches.priority_sample(df, "key", "w", 64)
+    m = sketches.priority_sample_merge(a, b, 64)
+    assert sorted(map(tuple, m.collect())) == \
+        sorted(map(tuple, whole.collect()))
+
+
+def test_priority_sample_matches_duckdb(spark, tmp_path):
+    import duckdb
+
+    df = _weighted(spark, 500)
+    p = str(tmp_path / "ps.parquet")
+    df.toPandas().to_parquet(p)
+    got = sorted(map(tuple, sketches.priority_estimates(
+        sketches.priority_sample(df, "key", "w", 32), 32).collect()))
+    con = duckdb.connect()
+    want = sorted(map(tuple, con.sql(sketches.duckdb_priority_sample_sql(
+        "key", "w", 32, f"read_parquet('{p}')")).fetchall()))
+    assert got == want
+
+
+def test_priority_sample_small_input_is_exact(spark):
+    """n <= k: tau = 0, every weight exact, all keys present."""
+    df = _weighted(spark, 20)
+    est = sketches.priority_estimates(
+        sketches.priority_sample(df, "key", "w", 64), 64).collect()
+    assert len(est) == 20
+    assert all(r.est_weight == float(r.w) for r in est)
+
+
+def test_priority_sample_drops_nonpositive_weights(spark):
+    import pandas as pd
+
+    df = spark.createDataFrame(pd.DataFrame({
+        "key": ["a", "b", "c", "d"],
+        "w": [5, 0, -3, None],
+    }))
+    rows = sketches.priority_sample(df, "key", "w", 8).collect()
+    assert [r.key for r in rows] == ["a"]
