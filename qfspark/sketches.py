@@ -855,7 +855,11 @@ def priority_sample(df: DataFrame, key_col: str, weight_col: str,
     no shuffle of the data. Mergeable EXACTLY like bottom-k: the
     top-(k+1) of a union is the top-(k+1) of concatenated sketches
     (``priority_sample_merge``). Rows with NULL or non-positive weight
-    are excluded (a zero-weight row can never be sampled)."""
+    are excluded (a zero-weight row can never be sampled). Semantics
+    are PER-ROW (like ``bottomk_sketch``'s default): a key appearing r
+    times contributes r independently-prioritized rows — all sharing
+    one u(key), so equal-weight duplicates are interchangeable and the
+    selection stays a pure function of the input multiset."""
     h = sketch_hash("key", hash_scheme)
     u = f"(CAST({h} AS DOUBLE) + 1.0) / {float(1 << HASH_BITS)!r}"
     return (

@@ -203,6 +203,9 @@ def stream_sketch(
       heavy hitters; state rows are the summary schema (item, est, err)
     * ``kind='mg_by'`` (params: by, k, weight_col) — running per-group
       heavy hitters
+    * ``kind='priority'`` (params: weight_col, k) — running
+      weight-sensitive sample with unbiased subset sums
+      (``sketches.priority_estimates`` over the state)
 
     Per micro-batch: build the batch's partial sketch, merge it into the
     checkpointed table (max/sum/union — each merge == rebuild exactly,
@@ -280,6 +283,13 @@ def stream_sketch(
             lambda a, b: sketches.mg_merge_by(
                 a, b, params["by"], params.get("k", 256)),
         ),
+        "priority": (
+            lambda df: sketches.priority_sample(
+                df, col, params["weight_col"], params.get("k", 256),
+                hash_scheme=scheme),
+            lambda a, b: sketches.priority_sample_merge(
+                a, b, params.get("k", 256)),
+        ),
     }
     if kind not in builders:
         raise ValueError(f"unknown sketch kind {kind!r}; "
@@ -287,6 +297,8 @@ def stream_sketch(
     if kind.endswith("_by") and "by" not in params:
         raise ValueError(
             f"kind={kind!r} requires params['by'] (group column list)")
+    if kind == "priority" and "weight_col" not in params:
+        raise ValueError("kind='priority' requires params['weight_col']")
     build_fn, merge_fn = builders[kind]
     spark = stream_df.sparkSession
     table_path = os.path.join(state_path, "sketch")

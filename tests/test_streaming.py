@@ -403,6 +403,40 @@ def test_stream_sketch_grouped_matches_batch(spark, kind, params):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def test_stream_sketch_priority_matches_batch(spark):
+    """Streaming priority sample: state after N micro-batches is
+    row-identical to a batch priority_sample over the union."""
+    import os
+
+    from qfspark import sketches
+    from qfspark.streaming import load_stream_sketch, stream_sketch
+
+    tmp = tempfile.mkdtemp(prefix="qfsk_priority_")
+    src = f"{tmp}/src"
+    state = f"{tmp}/state"
+    try:
+        ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+            F.col("user_id").cast("string").alias("user"),
+            (F.col("user_id") % 97 + 1).cast("long").alias("wt"))
+        os.makedirs(src, exist_ok=True)
+        ev.where("CAST(user AS BIGINT) % 2 = 0").toPandas().to_parquet(
+            f"{src}/b0.parquet")
+        ev.where("CAST(user AS BIGINT) % 2 = 1").toPandas().to_parquet(
+            f"{src}/b1.parquet")
+        stream = (spark.readStream.schema("user string, wt long")
+                  .option("maxFilesPerTrigger", "1").parquet(src))
+        q = stream_sketch(stream, "user", state, kind="priority",
+                          weight_col="wt", k=32,
+                          trigger={"availableNow": True})
+        q.awaitTermination(240)
+        got = sorted(map(tuple, load_stream_sketch(spark, state).collect()))
+        want = sorted(map(tuple, sketches.priority_sample(
+            ev, "user", "wt", 32).collect()))
+        assert got == want
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 @pytest.mark.parametrize("kind,params", [
     ("mg", {"k": 32}),
     ("mg_by", {"by": ["lang"], "k": 32}),
