@@ -402,6 +402,17 @@ def _q_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketches.priority_estimates(sk, k=128)
 
 
+def _q_priority_sample_by_lang(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Per-LANGUAGE priority sample (32 docs per language by byte
+    size) with per-group unbiased subset-sum estimates — one window
+    pass; sample and estimates value-exact vs DuckDB."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sk = sketches.priority_sample_by(docs, "doc_id", "n_chars",
+                                     ["lang"], k=32)
+    return sketches.priority_estimates_by(sk, ["lang"], k=32)
+
+
 def _q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Misra-Gries frequent users over the events stream: every true
     heavy hitter (count > n/(k+1)) must be present with its undercount
@@ -570,6 +581,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ["lang"], _SKETCH_QS),
         # weight-sensitive document sampling with unbiased subset sums
         "priority_sample": _q_priority_sample,
+        "priority_sample_by_lang": _q_priority_sample_by_lang,
         "heavy_hitters": _q_heavy_hitters,
         # grouped Misra-Gries: per-language heavy-hitter domains over
         # the duplicated crawl in ONE pass (mg_summary_by)
@@ -841,6 +853,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "priority_sample": sketches.duckdb_priority_sample_sql(
             "doc_id", "n_chars", 128, "documents"),
+        "priority_sample_by_lang": sketches.duckdb_priority_sample_by_sql(
+            "doc_id", "n_chars", ["lang"], 32, "documents"),
         "heavy_hitters":
             sketches.duckdb_mg_heavy_sql("user_id", 128, "events"),
         "heavy_hitters_by_lang": sketches.duckdb_mg_heavy_by_sql(

@@ -262,10 +262,16 @@ def _scaling_evidence() -> dict:
     while len([w for w in windows if not w["pathological"]]) < CLEAN_WINDOWS \
             and len(windows) < MAX_WINDOWS:
         w = {}
+        # job trials back-to-back FIRST, then the two controls: the
+        # hardware control is itself a memory-bus-saturating workload,
+        # and running it BETWEEN the job trials leaves a perturbed
+        # memory system under the second job — measured bias of
+        # ~-0.15..-0.25 raw vs control-free adjacent job pairs
         for c in SCALE_LEVELS:
             r = _run_scale_subprocess(c, exchange="arrow")
             rows = r["rows"]
             w[f"sec_{c}"] = r["sec"]
+        for c in SCALE_LEVELS:
             w[f"hw_{c}"] = round(_hw_control_once(c), 3)
         w["raw"] = round((w[f"sec_{lo}"] / w[f"sec_{hi}"]) / (hi / lo), 3)
         hw_eff = (w[f"hw_{hi}"] / w[f"hw_{lo}"]) / (hi / lo)
@@ -312,9 +318,11 @@ def _scaling_evidence() -> dict:
         "target": 0.8,
         "exchange": "arrow",
         "protocol": "fresh ActiveProcessorCount-bounded JVM per trial; "
-                    "window = (job@lo, hw@lo, job@hi, hw@hi) adjacent; "
-                    "pathological windows (raw<0.25 or raw>2.0) "
-                    "excluded+rerun; "
+                    "window = (job@lo, job@hi, hw@lo, hw@hi) — job "
+                    "pair adjacent, controls after (a control between "
+                    "the jobs perturbs the second job's memory "
+                    "system); pathological windows (raw<0.25 or "
+                    "raw>2.0) excluded+rerun; "
                     f"median over >= {CLEAN_WINDOWS} clean windows; "
                     f"{SCALE_COOLDOWN_S}s cooldown before first window",
     }

@@ -6,7 +6,7 @@
                                  [--expected-entries N] [--spark]
   python -m qfspark.cli lookup   <filter.qf> <key> [...]
   python -m qfspark.cli describe <filter.qf>
-  python -m qfspark.cli sketch   distinct|topk|quantiles|f2
+  python -m qfspark.cli sketch   distinct|topk|quantiles|f2|setops|sample
                                  --input lines.txt|table.parquet
                                  [--column c] [--p 12] [--k 20]
                                  [--qs 0.5,0.9] [--quantile-sketch kll]
@@ -190,6 +190,29 @@ def cmd_sketch(args) -> int:
                 args.depth, args.width).collect()[0]
             print(f"F2 ~= {row.f2_estimate:.0f}  "
                   f"(depth={args.depth}, width={args.width})")
+        elif args.what == "sample":
+            if not args.weight_column:
+                raise SystemExit("sample requires --weight-column")
+            if by:
+                sk = sketches.priority_sample_by(
+                    df, col, args.weight_column, by, k=args.k)
+                rows = (sketches.priority_estimates_by(sk, by, k=args.k)
+                        .orderBy(*by, F.desc("est_weight"), "key")
+                        .collect())
+                for r in rows:
+                    g = ",".join(str(r[c]) for c in by)
+                    print(f"{g}\t{r.key}\tw={r.w:g}"
+                          f"\test={r.est_weight:g}")
+            else:
+                sk = sketches.priority_sample(
+                    df, col, args.weight_column, k=args.k)
+                rows = (sketches.priority_estimates(sk, k=args.k)
+                        .orderBy(F.desc("est_weight"), "key").collect())
+                for r in rows:
+                    print(f"{r.key}\tw={r.w:g}\test={r.est_weight:g}")
+            print(f"# priority sample, k={args.k}: sum(est) over any "
+                  "subset of printed keys is an unbiased estimate of "
+                  "that subset's true weight sum")
         elif args.what == "setops":
             if not args.input_b:
                 raise SystemExit("setops requires --input-b")
@@ -280,7 +303,7 @@ def main(argv=None) -> int:
         "sketch", help="approximate aggregates over text lines or parquet")
     sk.add_argument("what",
                     choices=["distinct", "topk", "quantiles", "f2",
-                             "setops"])
+                             "setops", "sample"])
     sk.add_argument("--input", required=True)
     sk.add_argument("--input-b", default=None,
                     help="second key set for setops (KMV jaccard/"
@@ -291,6 +314,9 @@ def main(argv=None) -> int:
                     help="comma-separated group columns (parquet input): "
                          "per-group distinct/topk rollups in one pass")
     sk.add_argument("--kmv-k", type=int, default=256)
+    sk.add_argument("--weight-column", default=None,
+                    help="weight column for 'sample' (priority "
+                         "sampling: unbiased subset-sum estimates)")
     sk.add_argument("--master", default="local[*]")
     sk.add_argument("--p", type=int, default=12, help="HLL precision")
     sk.add_argument("--k", type=int, default=20,

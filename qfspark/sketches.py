@@ -888,6 +888,10 @@ def priority_estimates(sketch_df: DataFrame, k: int = 256) -> DataFrame:
     <= k keys — then every weight is exact). sum(est_weight) over the
     sampled keys matching ANY predicate is an unbiased estimate of
     that subset's true weight sum."""
+    # materialize the tiny (k+1)-row sketch once: the sample and tau
+    # subtrees would otherwise each re-run its TakeOrdered lineage
+    # over the corpus (kmv_set_ops pattern)
+    sketch_df = sketch_df.localCheckpoint(eager=True)
     ranked = sketch_df.orderBy(F.desc("priority"), "key")
     tau = (ranked.offset(k).limit(1)
            .agg(F.coalesce(F.max("priority"), F.lit(0.0)).alias("_tau")))
@@ -896,6 +900,79 @@ def priority_estimates(sketch_df: DataFrame, k: int = 256) -> DataFrame:
         .select(
             "key", "w",
             F.round(F.greatest(F.col("w"), F.col("_tau")), 6)
+            .alias("est_weight"),
+        )
+    )
+
+
+def priority_sample_by(df: DataFrame, key_col: str, weight_col: str,
+                       by, k: int = 256,
+                       hash_scheme: str = "hash60") -> DataFrame:
+    """Per-group priority sample: the k+1 highest-priority rows of
+    EVERY ``by`` combination in one pass (window row_number per group —
+    the grouped analogue of ``priority_sample``'s TakeOrdered; one
+    shuffle keyed by the group columns). Group columns are cast to
+    string; NULL group keys excluded (same contract as the other
+    grouped sketches). Merge: union + re-apply
+    (``priority_sample_merge_by``) — exact."""
+    from pyspark.sql import Window
+
+    by = _norm_by(by)
+    if not by:
+        raise ValueError("by must name at least one grouping column")
+    h = sketch_hash("key", hash_scheme)
+    u = f"(CAST({h} AS DOUBLE) + 1.0) / {float(1 << HASH_BITS)!r}"
+    pred = (F.col(key_col).isNotNull() & F.col(weight_col).isNotNull()
+            & (F.col(weight_col) > 0))
+    for c in by:
+        pred = pred & F.col(c).isNotNull()
+    w = Window.partitionBy(*by).orderBy(F.desc("priority"), "key")
+    return (
+        df.where(pred)
+        .select(*[F.col(c).cast("string").alias(c) for c in by],
+                F.col(key_col).cast("string").alias("key"),
+                F.col(weight_col).cast("double").alias("w"))
+        .withColumn("priority", F.expr(f"w / ({u})"))
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k + 1)
+        .drop("_rn")
+    )
+
+
+def priority_sample_merge_by(a: DataFrame, b: DataFrame, by,
+                             k: int = 256) -> DataFrame:
+    """Merge grouped priority sketches: exact, per group."""
+    from pyspark.sql import Window
+
+    by = _norm_by(by)
+    w = Window.partitionBy(*by).orderBy(F.desc("priority"), "key")
+    return (a.unionByName(b)
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= k + 1)
+            .drop("_rn"))
+
+
+def priority_estimates_by(sketch_df: DataFrame, by,
+                          k: int = 256) -> DataFrame:
+    """(by..., key, w, est_weight) per group: per-group tau = the
+    group's (k+1)-th priority (0 when the group had <= k rows)."""
+    from pyspark.sql import Window
+
+    by = _norm_by(by)
+    # one evaluation of the windowed-sample lineage (see
+    # priority_estimates)
+    sketch_df = sketch_df.localCheckpoint(eager=True)
+    w = Window.partitionBy(*by).orderBy(F.desc("priority"), "key")
+    ranked = sketch_df.withColumn("_rn", F.row_number().over(w))
+    tau = (ranked.where(F.col("_rn") == k + 1)
+           .select(*by, F.col("priority").alias("_tau")))
+    return (
+        ranked.where(F.col("_rn") <= k)
+        .join(tau, by, "left")
+        .select(
+            *by, "key", "w",
+            F.round(F.greatest(
+                F.col("w"), F.coalesce(F.col("_tau"), F.lit(0.0))), 6)
             .alias("est_weight"),
         )
     )
@@ -930,6 +1007,43 @@ def duckdb_priority_sample_sql(key_col: str, weight_col: str, k: int,
         SELECT key, w, round(GREATEST(w, tau), 6) AS est_weight
         FROM (SELECT * FROM sk ORDER BY priority DESC, key LIMIT {k}),
              tau
+    """
+
+
+def duckdb_priority_sample_by_sql(key_col: str, weight_col: str, by,
+                                  k: int, source: str) -> str:
+    """Oracle twin of priority_sample_by + priority_estimates_by."""
+    by = _norm_by(by)
+    h = duckdb_hash60("key")
+    u = f"(CAST({h} AS DOUBLE) + 1.0) / {float(1 << HASH_BITS)!r}"
+    bys = ", ".join(f"CAST({c} AS VARCHAR) AS {c}" for c in by)
+    bnames = ", ".join(by)
+    notnull = " AND ".join(
+        [f"{key_col} IS NOT NULL", f"{weight_col} IS NOT NULL",
+         f"{weight_col} > 0"] + [f"{c} IS NOT NULL" for c in by])
+    return f"""
+        WITH scored AS (
+            SELECT {bnames}, key, w, w / ({u}) AS priority FROM (
+                SELECT {bys}, CAST({key_col} AS VARCHAR) AS key,
+                       CAST({weight_col} AS DOUBLE) AS w
+                FROM {source} WHERE {notnull}
+            )
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY {bnames}
+                ORDER BY priority DESC, key) AS rn
+            FROM scored
+        ),
+        tau AS (
+            SELECT {bnames}, priority AS tau FROM ranked
+            WHERE rn = {k + 1}
+        )
+        SELECT r.{', r.'.join(by)}, r.key, r.w,
+               round(GREATEST(r.w, COALESCE(t.tau, 0.0)), 6)
+                   AS est_weight
+        FROM ranked r LEFT JOIN tau t USING ({bnames})
+        WHERE r.rn <= {k}
     """
 
 

@@ -265,3 +265,29 @@ def test_cli_sketch_setops(tmp_path, spark, capsys):
     assert "|A| ~= 100" in out and "|B| ~= 100" in out
     assert "|A u B| ~= 150" in out and "|A n B| ~= 50" in out
     assert "jaccard ~= 0.3333" in out
+
+
+def test_cli_sketch_sample(tmp_path, spark, capsys):
+    """`sketch sample --weight-column`: priority sampling from the CLI,
+    plain and grouped."""
+    import pandas as pd
+
+    from qfspark.cli import main
+
+    pq = str(tmp_path / "sample.parquet")
+    pd.DataFrame({
+        "g": ["en"] * 10 + ["de"] * 10,
+        "key": [f"k{i}" for i in range(20)],
+        "w": [100 + i for i in range(20)],
+    }).to_parquet(pq)
+
+    # n <= k: everything sampled, estimates exact
+    assert main(["sketch", "sample", "--input", pq, "--column", "key",
+                 "--weight-column", "w", "--k", "64"]) == 0
+    out = capsys.readouterr().out
+    assert "k0\tw=100\test=100" in out and "unbiased" in out
+
+    assert main(["sketch", "sample", "--input", pq, "--column", "key",
+                 "--weight-column", "w", "--by", "g", "--k", "4"]) == 0
+    out = capsys.readouterr().out
+    assert out.count("en\t") == 4 and out.count("de\t") == 4

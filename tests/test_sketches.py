@@ -787,3 +787,56 @@ def test_priority_sample_drops_nonpositive_weights(spark):
     }))
     rows = sketches.priority_sample(df, "key", "w", 8).collect()
     assert [r.key for r in rows] == ["a"]
+
+
+def test_priority_sample_by_matches_duckdb(spark, tmp_path):
+    import duckdb
+
+    df = spark.range(600).selectExpr(
+        "CASE WHEN id % 3 = 0 THEN 'en' WHEN id % 3 = 1 THEN 'de' "
+        "ELSE 'fr' END AS lang",
+        "concat('k', id) AS key",
+        "CAST(10000 / (id + 1) AS LONG) AS w")
+    p = str(tmp_path / "psby.parquet")
+    df.toPandas().to_parquet(p)
+    got = sorted(map(tuple, sketches.priority_estimates_by(
+        sketches.priority_sample_by(df, "key", "w", ["lang"], 16),
+        ["lang"], 16).collect()))
+    con = duckdb.connect()
+    want = sorted(map(tuple, con.sql(
+        sketches.duckdb_priority_sample_by_sql(
+            "key", "w", ["lang"], 16, f"read_parquet('{p}')"))
+        .fetchall()))
+    assert got == want and len(got) == 48  # 16 per group x 3 groups
+
+
+def test_priority_sample_by_merge_equals_rebuild(spark):
+    df = spark.range(600).selectExpr(
+        "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END AS g",
+        "concat('k', id) AS key", "CAST(id + 1 AS LONG) AS w")
+    a = sketches.priority_sample_by(
+        df.where("id < 300"), "key", "w", ["g"], 16)
+    b = sketches.priority_sample_by(
+        df.where("id >= 300"), "key", "w", ["g"], 16)
+    m = sketches.priority_sample_merge_by(a, b, ["g"], 16)
+    whole = sketches.priority_sample_by(df, "key", "w", ["g"], 16)
+    assert sorted(map(tuple, m.collect())) == \
+        sorted(map(tuple, whole.collect()))
+
+
+def test_priority_sample_by_per_group_subset_sums(spark):
+    df = spark.range(1000).selectExpr(
+        "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END AS g",
+        "concat('k', id) AS key",
+        "CAST(5000 / (id + 1) AS LONG) AS w").where("w > 0")
+    k = 128
+    est = sketches.priority_estimates_by(
+        sketches.priority_sample_by(df, "key", "w", ["g"], k),
+        ["g"], k).collect()
+    true = {r.g: r.t for r in df.groupBy("g").agg(
+        F.sum("w").alias("t")).collect()}
+    got = {}
+    for r in est:
+        got[r.g] = got.get(r.g, 0) + r.est_weight
+    for g, t in true.items():
+        assert abs(got[g] - t) / t < 3 / (k ** 0.5), (g, got[g], t)
