@@ -17,9 +17,12 @@ Measurement protocol (this box shows multi-minute system-level noise of
 sort-heavy workers — see BENCH/BASELINE.md):
  - one FRESH JVM subprocess per trial (page-cache/THP state from a
    previous heavy JVM contaminates the next run)
- - WINDOWED PAIRED trials: each window runs job@lo, hw-control@lo,
-   job@hi, hw-control@hi back-to-back, so a slow system stretch hits a
-   window's job and its control identically and cancels in the ratio
+ - WINDOWED PAIRED trials: each window runs job@lo, job@hi back-to-back
+   FIRST, then hw-control@lo, hw-control@hi (controls after the job
+   pair — the control is itself a memory-bus-saturating workload and
+   running it between the jobs perturbs the second job), so a slow
+   system stretch hits a window's jobs and its controls near-identically
+   and cancels in the ratio
  - pathological windows (4x cores measured <= 1x throughput, or > 8x —
    an external load burst on the hi or the lo trial respectively) are
    recorded, excluded, and replaced; MEDIAN over >= 5 clean windows is
@@ -241,9 +244,12 @@ def _scaling_evidence() -> dict:
     driver window — BENCH_r03's local[8] median came out SLOWER than its
     local[2] median, which is not physics for this job).
 
-    One WINDOW = job@lo, hw-control@lo, job@hi, hw-control@hi run
-    back-to-back, so each job trial has an immediately-adjacent hardware
-    control taken under the SAME system conditions. Per window we get a
+    One WINDOW = job@lo, job@hi run back-to-back, then hw-control@lo,
+    hw-control@hi (jobs FIRST — the control is itself a memory-bus-
+    saturating workload, and interleaving it between the job trials
+    leaves a perturbed memory system under the second job; measured
+    bias ~-0.15..-0.25 raw), so each job pair has an adjacent hardware
+    control pair taken under the SAME system conditions. Per window we get a
     raw efficiency and a control-normalized efficiency; system noise that
     slows one window slows its control identically and cancels in the
     ratio. A window whose 4x-core job ran SLOWER than its 1x-core job

@@ -548,8 +548,12 @@ def build_sharded_qf(
         # 'storage' takes over: its spill-through-parquet exchange has no
         # per-row or per-shard size bound at all.
         # Dup ratio probed on a bounded prefix — a heuristic, not an
-        # exact census; rows/shard uses the exact input count (one
-        # column-pruned scan, negligible next to the build itself).
+        # exact census; rows/shard uses a scan-free estimate
+        # (approx_row_count), which falls back to an exact count when
+        # the plan contains row-expanding nodes (Generate/Join) that
+        # would make parquet-footer counts an underestimate — the
+        # direction that could flip this guard to 'arrow' on an input
+        # whose true rows/shard exceed the arrow path's fat-row bound.
         probe = hashed.limit(200_000)
         n_probe = probe.count()
         n_distinct = probe.distinct().count()

@@ -183,12 +183,23 @@ def duckdb_minhash_lsh_pairs_sql(
 #: an explicit unpersist (the Python wrapper being GC'd does NOT free
 #: it), so the registry is the cache's lifetime record, not a leak —
 #: each entry is a thin plan wrapper, and ``release_pair_caches``
-#: unpersists and clears them.
+#: unpersists and clears them. BOUNDED: past ``_PAIR_CACHE_CAP``
+#: entries, the oldest cache is auto-unpersisted (FIFO — the oldest
+#: is the least likely to still be consumed), so a long-lived session
+#: unaware of ``release_pair_caches()`` cannot accumulate
+#: MEMORY_AND_DISK blocks without bound.
 _PAIR_CACHES: list = []
+_PAIR_CACHE_CAP = 16
 
 
 def _track_cache(df: DataFrame) -> DataFrame:
     _PAIR_CACHES.append(df)
+    while len(_PAIR_CACHES) > _PAIR_CACHE_CAP:
+        old = _PAIR_CACHES.pop(0)
+        try:
+            old.unpersist(blocking=False)
+        except Exception:
+            pass
     return df
 
 
@@ -255,12 +266,15 @@ def ngram_jaccard(
         # from an LSH candidate generator the lineage behind it is the
         # most expensive stage of the whole pipeline — unpersisted, Spark
         # recomputes that lineage per consumer. The cache is two longs
-        # per pair, MEMORY_AND_DISK, LRU-evicted. Lifetime: released by
-        # the JVM ContextCleaner once the result's plan is GC'd; long-
-        # lived sessions issuing many calls (streaming foreachBatch,
-        # benchmark loops) should call ``release_pair_caches()`` between
-        # calls for deterministic release (safe at any point — a cache
-        # is a hint, unpersist never invalidates the plan).
+        # per pair, MEMORY_AND_DISK, LRU-evicted. Lifetime: tracked in
+        # the module-level ``_PAIR_CACHES`` registry (a persist lives
+        # in the JVM CacheManager until an explicit unpersist — the
+        # Python wrapper being GC'd does NOT free it); the registry
+        # auto-unpersists the oldest entries past ``_PAIR_CACHE_CAP``,
+        # and long-lived sessions (streaming foreachBatch, benchmark
+        # loops) can call ``release_pair_caches()`` between calls for
+        # deterministic release (safe at any point — a cache is a
+        # hint, unpersist never invalidates the plan).
         pairs = _track_cache(
             pairs.select("doc_a", "doc_b").distinct()
             .persist(StorageLevel.MEMORY_AND_DISK))

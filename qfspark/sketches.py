@@ -857,9 +857,16 @@ def priority_sample(df: DataFrame, key_col: str, weight_col: str,
     (``priority_sample_merge``). Rows with NULL or non-positive weight
     are excluded (a zero-weight row can never be sampled). Semantics
     are PER-ROW (like ``bottomk_sketch``'s default): a key appearing r
-    times contributes r independently-prioritized rows — all sharing
-    one u(key), so equal-weight duplicates are interchangeable and the
-    selection stays a pure function of the input multiset."""
+    times contributes r rows, all sharing one u(key), so equal-weight
+    duplicates are interchangeable and the selection stays a pure
+    function of the input multiset. NOTE on the unbiasedness claim:
+    Duffield-Lund-Thorup's proof assumes an independent uniform per
+    ITEM, so the subset-sum guarantee above holds when keys are unique
+    (the doc_id-weighted-by-bytes case) or when estimating over
+    distinct keys; duplicated keys share a u and their priorities are
+    perfectly correlated — the sample is still a deterministic
+    weight-sensitive sample, but subset-sum estimates over such
+    inputs carry no unbiasedness guarantee."""
     h = sketch_hash("key", hash_scheme)
     u = f"(CAST({h} AS DOUBLE) + 1.0) / {float(1 << HASH_BITS)!r}"
     return (

@@ -11,6 +11,8 @@ lakehouse is a config change, not a code change.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -94,10 +96,15 @@ def approx_row_count(df: DataFrame, sample_files: int = 64) -> int:
          pages only, no data IO) and scales by the file count; exact
          when every footer is read. Pre-filter count: an upstream
          filter makes this an overestimate, which only over-sizes the
-         derived structure (safe direction).
-      3. ``df.count()`` — the explicit fallback for in-memory / exotic
-         sources; the one remaining driver action, on a column-pruned
-         scan.
+         derived structure (safe direction). SKIPPED when the
+         optimized plan contains a row-EXPANDING node (Generate /
+         explode, Join): footers count base-file rows, so an 80x
+         shingle explode would make this an 80x UNDERESTIMATE — the
+         unsafe direction for callers like the sharded-build exchange
+         guard, whose arrow path has a hard per-shard row bound.
+      3. ``df.count()`` — the explicit fallback for in-memory /
+         exotic sources and for row-expanding plans; the one
+         remaining driver action, on a column-pruned scan.
     """
     try:
         rc = df._jdf.queryExecution().optimizedPlan().stats().rowCount()
@@ -109,6 +116,8 @@ def approx_row_count(df: DataFrame, sample_files: int = 64) -> int:
         files = df.inputFiles()
     except Exception:
         files = []
+    if files and _plan_expands_rows(df):
+        files = []  # footer counts would under-estimate: drop to count()
     if files:
         try:
             import pyarrow.parquet as pq
@@ -125,3 +134,20 @@ def approx_row_count(df: DataFrame, sample_files: int = 64) -> int:
         except Exception:
             pass
     return df.count()
+
+
+def _plan_expands_rows(df: DataFrame) -> bool:
+    """True when the optimized logical plan contains a node that can
+    emit MORE rows than its inputs (``Generate`` — explode/posexplode/
+    inline — or any ``Join``): leaf-file footer row counts are then a
+    potentially unbounded UNDERESTIMATE of the result cardinality.
+    Filters/limits (fewer rows) are fine — they make footers an
+    overestimate, which callers already document as the safe
+    direction. Unreadable plans report True (can't prove linearity →
+    don't trust footers)."""
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+    except Exception:
+        return True
+    return bool(re.search(r"^\s*(?:[+:]-\s*)?(?:Generate |\w*Join\b)",
+                          plan, re.MULTILINE))
