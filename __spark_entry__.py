@@ -279,6 +279,17 @@ def _q_quantile_bounds(kind: str):
     return run
 
 
+def _q_quantiles_by_lang_kll(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Per-language doc-length quantile gate from a GROUPED KLL sketch:
+    O(1/k) rank error per group (vs quantiles_by_lang's ~1/sqrt(k)
+    bottom-k sample). Oracle: TRUE per (lang, q)."""
+    base = _docs(spark, sf_dir).select(
+        F.length("text").cast("double").alias("v"), "lang")
+    return sketches.quantile_bound_check_by(
+        base, "v", ["lang"], _SKETCH_QS, k=256)
+
+
 #: deterministic PII injection keyed by doc_id % 4 — identical CASE
 #: text in both engines (mod/did substituted per dialect)
 _PII_CASES = """
@@ -561,6 +572,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bottomk_quantiles": _q_bottomk_quantiles,
         "tdigest_quantile_bounds": _q_quantile_bounds("tdigest"),
         "kll_quantile_bounds": _q_quantile_bounds("kll"),
+        # per-language KLL quantile gate (O(1/k) per-group rank error)
+        "quantiles_by_lang_kll": _q_quantiles_by_lang_kll,
         "hll_url_set_ops": _q_hll_set_ops,
         "kmv_url_set_ops": _q_kmv_set_ops,
         # grouped rollup: one HLL per language in a single pass, next
@@ -787,6 +800,10 @@ def oracle_sql() -> dict[str, str]:
             sketches.duckdb_quantile_bound_sql(_SKETCH_QS),
         "kll_quantile_bounds":
             sketches.duckdb_quantile_bound_sql(_SKETCH_QS),
+        "quantiles_by_lang_kll": sketches.duckdb_quantile_bound_by_sql(
+            ["lang"], _SKETCH_QS,
+            "(SELECT lang, CAST(length(text) AS DOUBLE) AS v "
+            "FROM documents)", "v"),
         "hll_by_lang": f"""
             WITH wp AS ({wp}),
             est AS ({sketches.duckdb_hll_by_sql("url", ["lang"], 10, "wp")}),

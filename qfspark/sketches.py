@@ -1310,6 +1310,140 @@ def kll_build(df: DataFrame, value_col: str, k: int = 256) -> KLLSketch:
     return out
 
 
+# ---------------------------------------------------------------------------
+# grouped KLL (per-group quantiles with the O(1/k) guarantee in one pass)
+# ---------------------------------------------------------------------------
+#
+# Same compactor contract as kll_build, independently PER GROUP — the
+# quantile analogue of mg_partials_by/hll_registers_by. Scale shape: one
+# mapInPandas pass maintaining a KLLSketch per group present in the
+# partition (state O(groups-in-partition * k * log(n/k))), emitting
+# (by..., level, value) compactor rows — <= O(k log(n_g/k)) rows per
+# group per partition; the per-group merge then runs as applyInPandas
+# over that TINY partial table (one shuffle keyed by the group columns),
+# so the driver never sees a single data value. This gives per-group
+# rank error O(1/k) — vs the ~1/sqrt(k) of quantiles read off a
+# grouped bottom-k sample of k keys.
+
+
+def _kll_from_level_rows(level_arr, value_arr, k: int) -> KLLSketch:
+    """Rebuild a KLLSketch from (level, value) compactor rows — the
+    shared merge step of ``kll_build`` (driver) and the grouped
+    applyInPandas merge (executor): dump every row into its level, then
+    one compress pass restores the capacity invariants."""
+    out = KLLSketch(k)
+    levels = [int(h) for h in level_arr]
+    if not levels:
+        return out
+    depth = max(levels) + 1
+    out.levels = [[] for _ in range(depth)]
+    out.parities = [0] * depth
+    for h, v in zip(levels, value_arr):
+        out.levels[h].append(float(v))
+    out.n = sum(len(buf) << h for h, buf in enumerate(out.levels))
+    out._compress()
+    return out
+
+
+def kll_partials_by(df: DataFrame, value_col: str, by,
+                    k: int = 256) -> DataFrame:
+    """Per-partition grouped KLL compactor rows (by..., level, value):
+    each partition maintains an independent KLLSketch per group it
+    sees. Group columns are cast to string; rows with a NULL group key
+    or NULL value are excluded (same contract as the other grouped
+    sketches)."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    by = _norm_by(by)
+
+    import pandas as pd
+
+    kk = k
+
+    def _partial(batches):
+        sks: dict[tuple, KLLSketch] = {}
+        for b in batches:
+            for key, grp in b.groupby(by, sort=False):
+                kt = key if isinstance(key, tuple) else (key,)
+                sk = sks.get(kt)
+                if sk is None:
+                    sks[kt] = sk = KLLSketch(kk)
+                sk.extend(grp["_v"].to_numpy(dtype="float64"))
+        for kt, sk in sks.items():
+            rows = [(h, v) for h, buf in enumerate(sk.levels)
+                    for v in buf]
+            if not rows:
+                continue
+            out = pd.DataFrame({"level": [r[0] for r in rows],
+                                "value": [r[1] for r in rows]})
+            for c, kv in zip(by, kt):
+                out[c] = kv
+            yield out[by + ["level", "value"]]
+
+    schema = ", ".join(f"`{c}` string" for c in by) \
+        + ", level int, value double"
+    pred = F.col(value_col).isNotNull()
+    for c in by:
+        pred = pred & F.col(c).isNotNull()
+    sel = [F.col(c).cast("string").alias(c) for c in by]
+    sel.append(F.col(value_col).cast("double").alias("_v"))
+    return df.where(pred).select(*sel).mapInPandas(_partial, schema)
+
+
+def kll_build_by(df: DataFrame, value_col: str, by,
+                 k: int = 256) -> dict[tuple, KLLSketch]:
+    """Driver-side dict {group-tuple: KLLSketch} — the grouped twin of
+    ``kll_build`` for callers that want the sketch OBJECTS (ad-hoc
+    ranks, serialization). Driver work/memory is O(groups * k * log);
+    for the common read-off-the-quantiles path use the fully
+    distributed ``kll_quantiles_by``, whose merge runs on executors."""
+    by = _norm_by(by)
+    rows = kll_partials_by(df, value_col, by, k).collect()
+    acc: dict[tuple, tuple[list, list]] = {}
+    for r in rows:
+        g = tuple(r[c] for c in by)
+        lv = acc.setdefault(g, ([], []))
+        lv[0].append(r["level"])
+        lv[1].append(r["value"])
+    return {g: _kll_from_level_rows(ls, vs, k)
+            for g, (ls, vs) in acc.items()}
+
+
+def kll_quantiles_by(df: DataFrame, value_col: str, by, qs: list[float],
+                     k: int = 256) -> DataFrame:
+    """(by..., q, est) per-group KLL quantile estimates, fully
+    distributed: one data pass for the partials, one group-keyed
+    shuffle of the tiny partial table, per-group merge + read-off
+    inside applyInPandas. Rank error O(1/k) per group."""
+    by = _norm_by(by)
+    qs_l = [float(q) for q in qs]
+    kk = k
+
+    import pandas as pd
+
+    partials = kll_partials_by(df, value_col, by, k)
+
+    def _merge(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        sk = _kll_from_level_rows(pdf["level"], pdf["value"], kk)
+        out = pd.DataFrame({"q": qs_l,
+                            "est": [sk.quantile(q) for q in qs_l]})
+        for c in by:
+            out[c] = pdf[c].iloc[0]
+        return out[by + ["q", "est"]]
+
+    schema = ", ".join(f"`{c}` string" for c in by) \
+        + ", q double, est double"
+    return partials.groupBy(*by).applyInPandas(_merge, schema)
+
+
+def kll_merge_partials_by(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two grouped partial tables built with the same (by, k):
+    plain union — compactor rows at the same level combine by
+    concatenation, and the next per-group merge's compress restores
+    the invariants (KLL merge IS union-then-compress)."""
+    return a.unionByName(b)
+
+
 # ===========================================================================
 # bound-check queries (the oracle for the Python-kernel sketches)
 # ===========================================================================
@@ -1375,6 +1509,64 @@ def duckdb_quantile_bound_sql(qs: list[float]) -> str:
     """The oracle twin of ``quantile_bound_check``: TRUE per q."""
     qlit = ", ".join(f"CAST({float(q)!r} AS DOUBLE)" for q in qs)
     return f"SELECT q, TRUE AS ok FROM unnest([{qlit}]) AS t(q)"
+
+
+def quantile_bound_check_by(df: DataFrame, value_col: str, by,
+                            qs: list[float], k: int = 256,
+                            bound: float | None = None) -> DataFrame:
+    """(by..., q, ok) — the grouped twin of ``quantile_bound_check``
+    for the KLL sketch: per group, is the KLL quantile estimate within
+    the O(1/k) rank-error bound of that GROUP's exact quantile? Oracle:
+    ``duckdb_quantile_bound_by_sql`` — constant TRUE per (group, q).
+
+    Fully distributed: the per-(group, q) estimates (a tiny
+    groups x |qs| table) broadcast-join back to the data, and the
+    exact tie-aware rank interval of each estimate comes out of ONE
+    grouped conditional aggregate — rank_lt = |v < est| (bisect_left),
+    rank_le = |v <= est| (bisect_right); the error is the distance
+    from q to [rank_lt, rank_le]/n_g. No per-group sort, no value ever
+    reaches the driver (same scale argument as the global checker)."""
+    by = _norm_by(by)
+    if bound is None:
+        bound = 12.0 / k  # same property-tested constant as the
+        #                   global KLL gate (quantile_bound_check)
+    est = kll_quantiles_by(df, value_col, by, qs, k)
+    pred = F.col(value_col).isNotNull()
+    for c in by:
+        pred = pred & F.col(c).isNotNull()
+    vals = df.where(pred).select(
+        *[F.col(c).cast("string").alias(c) for c in by],
+        F.col(value_col).cast("double").alias("_v"))
+    fan = vals.join(F.broadcast(est), by)  # x|qs| row fan-out, map-side
+    agg = fan.groupBy(*by, "q").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum((F.col("_v") < F.col("est")).cast("long")).alias("_lt"),
+        F.sum((F.col("_v") <= F.col("est")).cast("long")).alias("_le"),
+    )
+    return agg.select(
+        *by, "q",
+        (F.greatest(
+            F.lit(0.0),
+            F.col("_lt") / F.col("_n") - F.col("q"),
+            F.col("q") - F.col("_le") / F.col("_n"),
+        ) <= F.lit(float(bound))).alias("ok"),
+    )
+
+
+def duckdb_quantile_bound_by_sql(by, qs: list[float], source: str,
+                                 value_col: str) -> str:
+    """Oracle twin of ``quantile_bound_check_by``: every group present
+    in ``source`` (non-null group keys and value) x every q, TRUE."""
+    by = _norm_by(by)
+    bys = ", ".join(f"CAST({c} AS VARCHAR) AS {c}" for c in by)
+    qlit = ", ".join(f"CAST({float(q)!r} AS DOUBLE)" for q in qs)
+    notnull = " AND ".join([f"{value_col} IS NOT NULL"]
+                           + [f"{c} IS NOT NULL" for c in by])
+    return f"""
+        SELECT g.*, t.q, TRUE AS ok
+        FROM (SELECT DISTINCT {bys} FROM {source} WHERE {notnull}) g
+        CROSS JOIN (SELECT q FROM unnest([{qlit}]) AS u(q)) t
+    """
 
 
 # ===========================================================================

@@ -203,6 +203,22 @@ def main():
     check("rank check has no sort", p11e, r"\bSort\b", must_exist=False)
     check("rank check has no python", p11e, r"EvalPython",
           must_exist=False)
+    # 11f. grouped KLL (round 5): partials are Arrow mapInPandas (no
+    # row-Python), the per-group merge is applyInPandas over the tiny
+    # partial table, and the grouped bound check's estimate join is a
+    # broadcast (the groups x |qs| table never shuffles the corpus)
+    p11f = plan_of(sketches.kll_quantiles_by(
+        docs, "n_chars", ["lang"], [0.5], 16))
+    check("grouped KLL partials are Arrow-eval", p11f,
+          r"MapInPandas|ArrowEvalPython|FlatMapGroupsInPandas")
+    check("grouped KLL has no row-python", p11f, r"BatchEvalPython",
+          must_exist=False)
+    p11g = plan_of(sketches.quantile_bound_check_by(
+        docs, "n_chars", ["lang"], [0.5], 16))
+    check("grouped KLL bound check broadcasts estimates", p11g,
+          r"BroadcastHashJoin|BroadcastExchange")
+    check("grouped KLL bound check has no sort of the corpus", p11g,
+          r"\bSortMergeJoin\b", must_exist=False)
     # KMV sketch executes as TakeOrdered (never a full sort)
     p11c = plan_of(sketches.kmv_sketch(wp, "url", 256))
     check("KMV bottom-k is TakeOrdered", p11c,

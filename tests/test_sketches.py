@@ -289,6 +289,96 @@ def test_quantile_bound_check_all_ok(spark):
 
 
 # ---------------------------------------------------------------------------
+# grouped KLL
+# ---------------------------------------------------------------------------
+
+def _grouped_vals(spark, n=40000):
+    """Four groups with deliberately different scales and sizes (one
+    tiny group exercises the exact-small-group path)."""
+    return spark.range(n).selectExpr(
+        "CASE WHEN pmod(id, 100) = 0 THEN 'tiny' "
+        "     WHEN pmod(id, 3) = 0 THEN 'a' "
+        "     WHEN pmod(id, 3) = 1 THEN 'b' ELSE 'c' END AS g",
+        "CAST(pmod(id * 2654435761, 99991) AS DOUBLE) * "
+        "CASE WHEN pmod(id, 3) = 1 THEN 0.001 ELSE 1.0 END AS v",
+    ).repartition(8)
+
+
+def test_kll_by_rank_error_per_group(spark):
+    df = _grouped_vals(spark)
+    sks = sketches.kll_build_by(df, "v", ["g"], k=256)
+    exact = {}
+    for r in df.collect():
+        exact.setdefault(r.g, []).append(r.v)
+    assert set(sks) == {("a",), ("b",), ("c",), ("tiny",)}
+    for (g,), sk in sks.items():
+        vals = sorted(exact[g])
+        # n is recomputed from level weights: odd-buffer compactions
+        # drift it by up to one weight per compaction (inherent to KLL)
+        assert abs(sk.n - len(vals)) <= 0.01 * len(vals), g
+        for q in (0.1, 0.5, 0.9):
+            assert _rank_err(vals, sk.quantile(q), q) <= 12.0 / 256, (g, q)
+
+
+def test_kll_quantiles_by_matches_build_by_bound(spark):
+    """The distributed applyInPandas merge must honour the same bound
+    as the driver-side build (they share _kll_from_level_rows, but the
+    distributed path groups partial rows via shuffle)."""
+    df = _grouped_vals(spark, 30000)
+    est = {(r.g, r.q): r.est
+           for r in sketches.kll_quantiles_by(
+               df, "v", ["g"], [0.1, 0.5, 0.9], k=256).collect()}
+    exact = {}
+    for r in df.collect():
+        exact.setdefault(r.g, []).append(r.v)
+    assert len(est) == 4 * 3
+    for (g, q), e in est.items():
+        assert _rank_err(sorted(exact[g]), e, q) <= 12.0 / 256, (g, q)
+
+
+def test_kll_partials_by_merge_is_union(spark):
+    """Merging two grouped partial tables (union) then finalizing must
+    stay within the merged-sketch bound — KLL merge is union-then-
+    compress, and the group finalize IS the compress."""
+    df_a = _grouped_vals(spark, 15000)
+    df_b = spark.range(15000, 30000).selectExpr(
+        "CASE WHEN pmod(id, 3) = 0 THEN 'a' "
+        "     WHEN pmod(id, 3) = 1 THEN 'b' ELSE 'c' END AS g",
+        "CAST(pmod(id * 48271, 65537) AS DOUBLE) AS v").repartition(4)
+    pa = sketches.kll_partials_by(df_a, "v", ["g"], k=256)
+    pb = sketches.kll_partials_by(df_b, "v", ["g"], k=256)
+    merged = sketches.kll_merge_partials_by(pa, pb).collect()
+    acc = {}
+    for r in merged:
+        ls, vs = acc.setdefault(r.g, ([], []))
+        ls.append(r.level)
+        vs.append(r.value)
+    exact = {}
+    for src in (df_a, df_b):
+        for r in src.collect():
+            exact.setdefault(r.g, []).append(r.v)
+    for g, (ls, vs) in acc.items():
+        sk = sketches._kll_from_level_rows(ls, vs, 256)
+        vals = sorted(exact[g])
+        assert abs(sk.n - len(vals)) <= 0.01 * len(vals), g
+        for q in (0.1, 0.5, 0.9):
+            # merged-sketch constant (matches test_kll_merge_preserves_bound)
+            assert _rank_err(vals, sk.quantile(q), q) <= 16.0 / 256, (g, q)
+
+
+def test_quantile_bound_check_by_all_ok_and_null_groups(spark):
+    df = spark.range(20000).selectExpr(
+        "CASE WHEN pmod(id, 7) = 0 THEN NULL "
+        "     WHEN pmod(id, 2) = 0 THEN 'x' ELSE 'y' END AS g",
+        "CAST(pmod(id * 48271, 65537) AS DOUBLE) AS v")
+    rows = sketches.quantile_bound_check_by(
+        df, "v", ["g"], [0.1, 0.5, 0.9], k=256).collect()
+    assert {r.g for r in rows} == {"x", "y"}  # NULL group excluded
+    assert len(rows) == 6
+    assert all(r.ok for r in rows), rows
+
+
+# ---------------------------------------------------------------------------
 # checkpoint round-trip
 # ---------------------------------------------------------------------------
 
