@@ -222,6 +222,30 @@ def _q_countmin_url(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_countmin_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language count-min frequency estimates of document sources:
+    an independent counter table per lang (grouped count-min — the
+    per-group guarantee rides on the GROUP's total, not the corpus's),
+    probed with every (lang, source), true count and the
+    never-underestimates guarantee as checked columns."""
+    docs = _docs(spark, sf_dir)
+    cm = sketches.countmin_table_by(
+        docs, "source", ["lang"], depth=3, width=256)
+    est = sketches.countmin_query_by(
+        cm, docs, "source", ["lang"], depth=3, width=256)
+    true = (
+        docs.where(F.col("source").isNotNull()
+                   & F.col("lang").isNotNull())
+        .groupBy(F.col("lang").cast("string").alias("lang"), "source")
+        .agg(F.count(F.lit(1)).alias("true_cnt"))
+    )
+    return (
+        est.join(true, ["lang", "source"])
+        .withColumn("no_underestimate",
+                    F.col("cm_count") >= F.col("true_cnt"))
+    )
+
+
 def _q_bloom_url(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom membership over the odd-source half of the crawl, probed
     with every url plus absent variants; the no-false-negative guarantee
@@ -568,6 +592,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # their published error bound (ok==TRUE oracle, like ANN recall)
         "hll_url_cardinality": _q_hll_url,
         "countmin_url_freq": _q_countmin_url,
+        # per-language count-min (grouped counter tables, one pass)
+        "countmin_by_lang": _q_countmin_by_lang,
         "bloom_url_membership": _q_bloom_url,
         "bottomk_quantiles": _q_bottomk_quantiles,
         "tdigest_quantile_bounds": _q_quantile_bounds("tdigest"),
@@ -758,6 +784,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.url, c.cm_count, t.true_cnt,
                    c.cm_count >= t.true_cnt AS no_underestimate
             FROM cmq c JOIN truec t USING (url)
+        """,
+        "countmin_by_lang": f"""
+            WITH cmq AS ({sketches.duckdb_countmin_by_sql(
+                "source", ["lang"], 3, 256, "documents")}),
+            truec AS (
+                SELECT CAST(lang AS VARCHAR) AS lang, source,
+                       COUNT(*) AS true_cnt
+                FROM documents
+                WHERE source IS NOT NULL AND lang IS NOT NULL
+                GROUP BY ALL
+            )
+            SELECT c.lang, c.source, c.cm_count, t.true_cnt,
+                   c.cm_count >= t.true_cnt AS no_underestimate
+            FROM cmq c JOIN truec t USING (lang, source)
         """,
         "bloom_url_membership": f"""
             WITH wp AS ({wp}),

@@ -518,6 +518,122 @@ def countmin_query(cm_df: DataFrame, probes: DataFrame, col: str,
     )
 
 
+def countmin_table_by(df: DataFrame, col: str, by, depth: int = 4,
+                      width: int = 1024,
+                      hash_scheme: str = "hash60") -> DataFrame:
+    """Per-group count-min tables in one pass: (by..., row, col_idx,
+    cnt) — an independent depth x width counter table per ``by``
+    combination (per-language / per-domain key frequencies). Same
+    bounded explode + partial-aggregating groupBy as the global table,
+    keyed additionally by the group columns; <= groups * depth * width
+    cells total. Group columns cast to string, NULL group keys
+    excluded (grouped-sketch contract). Merge:
+    ``countmin_merge_by`` — cell-wise sum per group, exact."""
+    by = _norm_by(by)
+    h = sketch_hash(f"concat(i, ':', {col})", hash_scheme)
+    pred = F.col(col).isNotNull()
+    for c in by:
+        pred = pred & F.col(c).isNotNull()
+    return (
+        df.where(pred)
+        .select(
+            *[F.col(c).cast("string").alias(c) for c in by],
+            F.col(col),
+            F.explode(F.expr(f"sequence(0, {depth - 1})")).alias("i"),
+        )
+        .select(
+            *by,
+            F.col("i").cast("int").alias("row"),
+            F.expr(f"CAST(pmod({h}, {width}) AS INT)").alias("col_idx"),
+        )
+        .groupBy(*by, "row", "col_idx")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def countmin_merge_by(by, *tables: DataFrame) -> DataFrame:
+    """Merge grouped counter tables: cell-wise sum per group. Exact-
+    associative (same argument as ``countmin_merge``)."""
+    by = _norm_by(by)
+    it = iter(tables)
+    out = next(it)
+    for d in it:
+        out = out.unionByName(d)
+    return (out.groupBy(*by, "row", "col_idx")
+            .agg(F.sum("cnt").alias("cnt")))
+
+
+def countmin_query_by(cm_df: DataFrame, probes: DataFrame, col: str,
+                      by, depth: int = 4, width: int = 1024,
+                      hash_scheme: str = "hash60") -> DataFrame:
+    """Per-group point-frequency estimates: min over the group's own
+    depth rows. ``probes`` carries the group columns; each (group,
+    key) probe reads only that group's table, so the per-group
+    guarantee is the standard one with N = the GROUP's total count —
+    much tighter than a global table for skewed group sizes."""
+    by = _norm_by(by)
+    h = sketch_hash(f"concat(i, ':', {col})", hash_scheme)
+    pred = F.col(col).isNotNull()
+    for c in by:
+        pred = pred & F.col(c).isNotNull()
+    exploded = (
+        probes.select(*[F.col(c).cast("string").alias(c) for c in by],
+                      col)
+        .where(pred).distinct()
+        .select(
+            *by, F.col(col),
+            F.explode(F.expr(f"sequence(0, {depth - 1})")).alias("i"),
+        )
+        .select(
+            *by, F.col(col),
+            F.col("i").cast("int").alias("row"),
+            F.expr(f"CAST(pmod({h}, {width}) AS INT)").alias("col_idx"),
+        )
+    )
+    return (
+        exploded.join(F.broadcast(cm_df), by + ["row", "col_idx"], "left")
+        .groupBy(*by, col)
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("cm_count"))
+    )
+
+
+def duckdb_countmin_by_sql(col: str, by, depth: int, width: int,
+                           source: str,
+                           probe_source: str | None = None) -> str:
+    """DuckDB twin of countmin_table_by + countmin_query_by (probes
+    default to the distinct (group, key) pairs of ``source``)."""
+    by = _norm_by(by)
+    h_build = duckdb_hash60(f"(i || ':' || {col})")
+    probe_source = probe_source or source
+    bys = ", ".join(f"CAST({c} AS VARCHAR) AS {c}" for c in by)
+    bnames = ", ".join(by)
+    notnull = " AND ".join([f"{col} IS NOT NULL"]
+                           + [f"{c} IS NOT NULL" for c in by])
+    return f"""
+        WITH cm AS (
+            SELECT {bys}, CAST(i AS INT) AS row,
+                   CAST({h_build} % {width} AS INT) AS col_idx,
+                   COUNT(*) AS cnt
+            FROM {source}, unnest(range(0, {depth})) AS t(i)
+            WHERE {notnull}
+            GROUP BY ALL
+        ),
+        probes AS (
+            SELECT DISTINCT {bys}, {col} FROM {probe_source}
+            WHERE {notnull}
+        ),
+        expl AS (
+            SELECT {bnames}, {col}, CAST(i AS INT) AS row,
+                   CAST({h_build} % {width} AS INT) AS col_idx
+            FROM probes, unnest(range(0, {depth})) AS t(i)
+        )
+        SELECT e.{bnames.replace(', ', ', e.')}, e.{col},
+               MIN(COALESCE(cm.cnt, 0)) AS cm_count
+        FROM expl e LEFT JOIN cm USING ({bnames}, row, col_idx)
+        GROUP BY ALL
+    """
+
+
 def duckdb_countmin_sql(col: str, depth: int, width: int,
                         source: str, probe_source: str | None = None) -> str:
     """DuckDB twin of countmin_table + countmin_query over the same
@@ -1148,12 +1264,20 @@ class TDigest:
 
 
 def tdigest_build(df: DataFrame, value_col: str,
-                  compression: int = 100) -> TDigest:
+                  compression: int = 100, fan: int = 64) -> TDigest:
     """Distributed t-digest: one partial digest per partition
     (mapInPandas — each partition's values never leave the executor;
-    only ~compression centroid rows do), merged pairwise on the driver.
-    The mergeable-UDAF shape: at 10^12 rows the exchange is
-    O(partitions * compression) centroid pairs, nothing else."""
+    only ~compression centroid rows do), tree-merged. When the input
+    has more than ``fan`` partitions, an intermediate applyInPandas
+    stage merges the partial centroid streams in groups keyed by
+    ``spark_partition_id % fan`` (a shuffle of the TINY partial table
+    only), so the driver collects at most fan * O(compression) centroid
+    rows and folds once — driver work is bounded by ``fan`` regardless
+    of partition count (at 10^12 rows / 10^5 partitions the pre-merge
+    keeps ~10^7 centroid rows off the driver). Merging is the digest's
+    own associative merge, so every tree shape honours the k-size
+    invariant the rank bound rides on (merge-tree independence is
+    pinned in tests/test_sketches.py)."""
     import pandas as pd
 
     comp = compression
@@ -1166,11 +1290,20 @@ def tdigest_build(df: DataFrame, value_col: str,
             d = TDigest.from_values(vals, comp)
             yield pd.DataFrame({"mean": d.means, "weight": d.weights})
 
-    rows = (
-        df.select(value_col)
-        .mapInPandas(_partial, "mean double, weight double")
-        .collect()
-    )
+    partials = df.select(value_col).mapInPandas(
+        _partial, "mean double, weight double")
+    if df.rdd.getNumPartitions() > fan:
+        def _merge_group(pdf: "pd.DataFrame") -> "pd.DataFrame":
+            d = TDigest.from_rows(
+                zip(pdf["mean"], pdf["weight"]), comp)
+            return pd.DataFrame({"mean": d.means, "weight": d.weights})
+
+        partials = (
+            partials.withColumn("_g", F.spark_partition_id() % fan)
+            .groupBy("_g")
+            .applyInPandas(_merge_group, "mean double, weight double")
+        )
+    rows = partials.collect()
     return TDigest.from_rows([(r["mean"], r["weight"]) for r in rows],
                              comp)
 
@@ -1275,9 +1408,17 @@ class KLLSketch:
         return items[-1][0]
 
 
-def kll_build(df: DataFrame, value_col: str, k: int = 256) -> KLLSketch:
-    """Distributed KLL: per-partition sketches via mapInPandas, merged
-    on the driver. The exchange is O(partitions * k * log) level rows."""
+def kll_build(df: DataFrame, value_col: str, k: int = 256,
+              fan: int = 64) -> KLLSketch:
+    """Distributed KLL: per-partition sketches via mapInPandas, tree-
+    merged. The exchange is O(partitions * k * log) level rows; when
+    the input has more than ``fan`` partitions an intermediate
+    applyInPandas stage (keyed by ``spark_partition_id % fan``) merges
+    the compactor rows in groups — KLL merge IS union-then-compress,
+    so each group merge is the sketch's own associative merge — and
+    the driver collects at most fan * O(k log) rows regardless of
+    partition count. Merge-tree independence within the documented
+    merged bound is pinned in tests/test_sketches.py."""
     import pandas as pd
 
     kk = k
@@ -1292,22 +1433,24 @@ def kll_build(df: DataFrame, value_col: str, k: int = 256) -> KLLSketch:
                 {"level": [r[0] for r in rows],
                  "value": [r[1] for r in rows]})
 
-    rows = (
-        df.select(value_col)
-        .mapInPandas(_partial, "level int, value double")
-        .collect()
-    )
-    out = KLLSketch(k)
-    if not rows:
-        return out
-    depth = max(r["level"] for r in rows) + 1
-    out.levels = [[] for _ in range(depth)]
-    out.parities = [0] * depth
-    for r in rows:
-        out.levels[r["level"]].append(r["value"])
-    out.n = sum(len(buf) << h for h, buf in enumerate(out.levels))
-    out._compress()
-    return out
+    partials = df.select(value_col).mapInPandas(
+        _partial, "level int, value double")
+    if df.rdd.getNumPartitions() > fan:
+        def _merge_group(pdf: "pd.DataFrame") -> "pd.DataFrame":
+            sk = _kll_from_level_rows(pdf["level"], pdf["value"], kk)
+            rows = [(h, v) for h, buf in enumerate(sk.levels)
+                    for v in buf]
+            return pd.DataFrame({"level": [r[0] for r in rows],
+                                 "value": [r[1] for r in rows]})
+
+        partials = (
+            partials.withColumn("_g", F.spark_partition_id() % fan)
+            .groupBy("_g")
+            .applyInPandas(_merge_group, "level int, value double")
+        )
+    rows = partials.collect()
+    return _kll_from_level_rows([r["level"] for r in rows],
+                                [r["value"] for r in rows], k)
 
 
 # ---------------------------------------------------------------------------

@@ -206,6 +206,13 @@ def stream_sketch(
     * ``kind='priority'`` (params: weight_col, k) — running
       weight-sensitive sample with unbiased subset sums
       (``sketches.priority_estimates`` over the state)
+    * ``kind='countmin_by'`` (params: by, depth, width) — running
+      PER-GROUP frequency tables (``countmin_query_by`` over the
+      state; cell-wise sum merge is exact, so state is row-identical
+      to a batch build over the union)
+    * ``kind='priority_by'`` (params: by, weight_col, k) — running
+      per-group weight-sensitive sample (exact merge: per-group
+      top-(k+1) of a union is the top-(k+1) of concatenated sketches)
 
     Per micro-batch: build the batch's partial sketch, merge it into the
     checkpointed table (max/sum/union — each merge == rebuild exactly,
@@ -290,6 +297,19 @@ def stream_sketch(
             lambda a, b: sketches.priority_sample_merge(
                 a, b, params.get("k", 256)),
         ),
+        "countmin_by": (
+            lambda df: sketches.countmin_table_by(
+                df, col, params["by"], params.get("depth", 4),
+                params.get("width", 1024), hash_scheme=scheme),
+            lambda a, b: sketches.countmin_merge_by(params["by"], a, b),
+        ),
+        "priority_by": (
+            lambda df: sketches.priority_sample_by(
+                df, col, params["weight_col"], params["by"],
+                params.get("k", 256), hash_scheme=scheme),
+            lambda a, b: sketches.priority_sample_merge_by(
+                a, b, params["by"], params.get("k", 256)),
+        ),
     }
     if kind not in builders:
         raise ValueError(f"unknown sketch kind {kind!r}; "
@@ -297,8 +317,8 @@ def stream_sketch(
     if kind.endswith("_by") and "by" not in params:
         raise ValueError(
             f"kind={kind!r} requires params['by'] (group column list)")
-    if kind == "priority" and "weight_col" not in params:
-        raise ValueError("kind='priority' requires params['weight_col']")
+    if kind in ("priority", "priority_by") and "weight_col" not in params:
+        raise ValueError(f"kind={kind!r} requires params['weight_col']")
     build_fn, merge_fn = builders[kind]
     spark = stream_df.sparkSession
     table_path = os.path.join(state_path, "sketch")

@@ -119,6 +119,35 @@ def test_countmin_merge_equals_rebuild(spark):
     assert merged == direct
 
 
+def test_countmin_by_per_group_guarantee_and_merge(spark):
+    """Grouped count-min: per-group tables are independent — each
+    group's estimates never underestimate and ride the GROUP's total;
+    merge == rebuild exactly; NULL group keys excluded."""
+    df = spark.range(3000).selectExpr(
+        "CASE WHEN pmod(id, 11) = 0 THEN NULL "
+        "     WHEN pmod(id, 2) = 0 THEN 'g0' ELSE 'g1' END AS g",
+        "concat('k', pmod(id, 97)) AS key")
+    cm = sketches.countmin_table_by(df, "key", ["g"], 3, 256)
+    assert {r.g for r in cm.select("g").distinct().collect()} \
+        == {"g0", "g1"}
+    est = sketches.countmin_query_by(cm, df, "key", ["g"], 3, 256)
+    true = (df.where("g IS NOT NULL").groupBy("g", "key")
+            .agg(F.count(F.lit(1)).alias("t")))
+    joined = est.join(true, ["g", "key"]).collect()
+    assert len(joined) > 0
+    assert all(r.cm_count >= r.t for r in joined)
+    # merge == rebuild (cell-wise sum is exact)
+    left = sketches.countmin_table_by(
+        df.where("pmod(id, 2) = 0"), "key", ["g"], 3, 256)
+    right = sketches.countmin_table_by(
+        df.where("pmod(id, 2) = 1"), "key", ["g"], 3, 256)
+    merged = sorted(map(tuple,
+                        sketches.countmin_merge_by(
+                            ["g"], left, right).collect()))
+    direct = sorted(map(tuple, cm.collect()))
+    assert merged == direct
+
+
 def test_countmin_absent_key_zero_or_small(spark):
     df = _keys(spark, 100)
     cm = countmin_table(df, "key", depth=4, width=4096)
@@ -286,6 +315,33 @@ def test_quantile_bound_check_all_ok(spark):
         rows = quantile_bound_check(
             df, "v", [0.1, 0.5, 0.9], kind=kind).collect()
         assert all(r.ok for r in rows), (kind, rows)
+
+
+def test_kll_tree_merge_bound_and_order_independence(spark):
+    """>fan partitions triggers the distributed pre-merge stage; the
+    bound must hold for every merge-tree shape (different partitionings
+    give different trees)."""
+    base = spark.range(40000).selectExpr(
+        "CAST(pmod(id * 2654435761, 99991) AS DOUBLE) AS v")
+    vals = sorted(r.v for r in base.collect())
+    for nparts in (96, 130):
+        sk = kll_build(base.repartition(nparts), "v", k=256, fan=16)
+        for q in (0.1, 0.5, 0.9):
+            # merged-sketch constant (test_kll_merge_preserves_bound)
+            assert _rank_err(vals, sk.quantile(q), q) <= 16.0 / 256, \
+                (nparts, q)
+
+
+def test_tdigest_tree_merge_bound_and_order_independence(spark):
+    base = spark.range(40000).selectExpr(
+        "CAST(pmod(id * 48271, 65537) AS DOUBLE) AS v")
+    vals = sorted(r.v for r in base.collect())
+    for nparts in (96, 130):
+        d = tdigest_build(base.repartition(nparts), "v",
+                          compression=100, fan=16)
+        for q in (0.1, 0.5, 0.9):
+            assert _rank_err(vals, d.quantile(q), q) <= 6.0 / 100, \
+                (nparts, q)
 
 
 # ---------------------------------------------------------------------------

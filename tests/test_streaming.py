@@ -376,6 +376,7 @@ def _grouped_stream_fixture(spark, tmp):
 @pytest.mark.parametrize("kind,params", [
     ("hll_by", {"by": ["lang"], "p": 10}),
     ("bottomk_by", {"by": ["lang"], "value_col": "user", "k": 32}),
+    ("countmin_by", {"by": ["lang"], "depth": 3, "width": 128}),
 ])
 def test_stream_sketch_grouped_matches_batch(spark, kind, params):
     """Grouped rollup kinds: streamed state row-identical to a batch
@@ -394,11 +395,52 @@ def test_stream_sketch_grouped_matches_batch(spark, kind, params):
         if kind == "hll_by":
             want = sketches.hll_registers_by(
                 ev, "user", params["by"], params["p"])
+        elif kind == "countmin_by":
+            want = sketches.countmin_table_by(
+                ev, "user", params["by"], params["depth"],
+                params["width"])
         else:
             want = sketches.bottomk_sketch_by(
                 ev, "user", params["value_col"], params["by"],
                 params["k"])
         assert got == sorted(map(tuple, want.collect()))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_stream_sketch_priority_by_matches_batch(spark):
+    """Streaming grouped priority sample: state after N micro-batches
+    is row-identical to a batch priority_sample_by over the union
+    (exact merge, per group)."""
+    import os
+
+    from qfspark import sketches
+    from qfspark.streaming import load_stream_sketch, stream_sketch
+
+    tmp = tempfile.mkdtemp(prefix="qfsk_priority_by_")
+    src = f"{tmp}/src"
+    state = f"{tmp}/state"
+    try:
+        ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+            F.col("event_type").alias("lang"),
+            F.col("user_id").cast("string").alias("user"),
+            (F.col("user_id") % 97 + 1).cast("long").alias("wt"))
+        os.makedirs(src, exist_ok=True)
+        ev.where("CAST(user AS BIGINT) % 2 = 0").toPandas().to_parquet(
+            f"{src}/b0.parquet")
+        ev.where("CAST(user AS BIGINT) % 2 = 1").toPandas().to_parquet(
+            f"{src}/b1.parquet")
+        stream = (spark.readStream
+                  .schema("lang string, user string, wt long")
+                  .option("maxFilesPerTrigger", "1").parquet(src))
+        q = stream_sketch(stream, "user", state, kind="priority_by",
+                          by=["lang"], weight_col="wt", k=16,
+                          trigger={"availableNow": True})
+        q.awaitTermination(240)
+        got = sorted(map(tuple, load_stream_sketch(spark, state).collect()))
+        want = sorted(map(tuple, sketches.priority_sample_by(
+            ev, "user", "wt", ["lang"], 16).collect()))
+        assert got == want
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
