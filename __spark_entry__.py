@@ -404,6 +404,22 @@ def _q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         wp.where(did % 3 != 0), wp.where(did % 2 == 0), "url", k=128)
 
 
+def _q_kmv_set_ops_by_lang(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """Per-LANGUAGE crawl overlap between two document snapshots
+    (doc_id % 3 != 0 vs doc_id % 2 == 0): grouped KMV set algebra —
+    each language gets its own theta sketch pair, so per-language
+    Jaccard / intersection / A-not-B in one pass per side; all seven
+    values per group bit-exact vs DuckDB."""
+    docs = _docs(spark, sf_dir).select(
+        "lang", F.col("doc_id").cast("string").alias("key"),
+        "doc_id")
+    return sketches.kmv_set_ops_by(
+        docs.where(F.col("doc_id") % 3 != 0),
+        docs.where(F.col("doc_id") % 2 == 0),
+        "key", ["lang"], k=64)
+
+
 def _q_hll_by_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-HOUR distinct-user rollup over the events stream — the batch
     twin of streaming.windowed_distinct_counts (same register shape:
@@ -602,6 +618,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantiles_by_lang_kll": _q_quantiles_by_lang_kll,
         "hll_url_set_ops": _q_hll_set_ops,
         "kmv_url_set_ops": _q_kmv_set_ops,
+        # per-language snapshot overlap (grouped theta sketches)
+        "kmv_set_ops_by_lang": _q_kmv_set_ops_by_lang,
         # grouped rollup: one HLL per language in a single pass, next
         # to the exact per-group distinct count
         "hll_by_lang": _q_hll_by_lang,
@@ -889,6 +907,12 @@ def oracle_sql() -> dict[str, str]:
             "k", "v", ["lang"], 128, _SKETCH_QS,
             "(SELECT CAST(doc_id AS VARCHAR) AS k, "
             "CAST(length(text) AS DOUBLE) AS v, lang FROM documents)"),
+        "kmv_set_ops_by_lang": sketches.duckdb_kmv_set_ops_by_sql(
+            "key", ["lang"], 64,
+            "(SELECT lang, CAST(doc_id AS VARCHAR) AS key "
+            "FROM documents WHERE doc_id % 3 != 0)",
+            "(SELECT lang, CAST(doc_id AS VARCHAR) AS key "
+            "FROM documents WHERE doc_id % 2 = 0)"),
         "kmv_url_set_ops": f"""
             WITH wp AS ({wp}),
             res AS ({sketches.duckdb_kmv_set_ops_sql(

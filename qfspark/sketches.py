@@ -2468,3 +2468,223 @@ def duckdb_bottomk_quantiles_by_sql(key_col: str, value_col: str,
                    AS est_value
         FROM vals, unnest([{qlit}]) AS t(q)
     """
+
+
+# ===========================================================================
+# grouped KMV set operations (per-group Jaccard / intersection / A-not-B)
+# ===========================================================================
+
+def kmv_sketch_by(df: DataFrame, col: str, by, k: int = 256,
+                  hash_scheme: str = "hash60") -> DataFrame:
+    """(by..., h) per-group KMV sketch: the k smallest 60-bit hashes of
+    each group's DISTINCT keys in one pass (distinct + window rank per
+    group — one shuffle keyed by the group columns). Group columns cast
+    to string, NULL group keys excluded (grouped-sketch contract).
+    Merge: ``kmv_merge_by`` — per-group bottom-k of the union, exact."""
+    from pyspark.sql import Window
+
+    by = _norm_by(by)
+    if not by:
+        raise ValueError("by must name at least one grouping column")
+    h = sketch_hash(col, hash_scheme)
+    pred = F.col(col).isNotNull()
+    for c in by:
+        pred = pred & F.col(c).isNotNull()
+    w = Window.partitionBy(*by).orderBy("h")
+    return (
+        df.where(pred)
+        .select(*[F.col(c).cast("string").alias(c) for c in by],
+                F.expr(h).alias("h"))
+        .distinct()
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def kmv_merge_by(a: DataFrame, b: DataFrame, by, k: int = 256) -> DataFrame:
+    """Merge grouped KMV sketches built with the same (by, k): per-group
+    bottom-k of the distinct union — exact (merge == rebuild)."""
+    from pyspark.sql import Window
+
+    by = _norm_by(by)
+    w = Window.partitionBy(*by).orderBy("h")
+    return (
+        a.unionByName(b).distinct()
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def _kmv_est_by(sketch: DataFrame, by: list[str], k: int,
+                out: str) -> DataFrame:
+    """(by..., <out>): per-group (k-1)/h_k estimate, exact count when
+    the group's sketch holds fewer than k hashes."""
+    return (
+        sketch.groupBy(*by)
+        .agg(F.count(F.lit(1)).alias("_n"), F.max("h").alias("_hk"))
+        .select(
+            *by,
+            F.round(
+                F.when(F.col("_n") < k, F.col("_n").cast("double"))
+                .otherwise(F.lit(float(k - 1)) * F.lit(_KMV_RANGE)
+                           / F.col("_hk")),
+                1,
+            ).alias(out),
+        )
+    )
+
+
+def kmv_set_ops_by(a_df: DataFrame, b_df: DataFrame, col: str, by,
+                   k: int = 256,
+                   hash_scheme: str = "hash60") -> DataFrame:
+    """Per-group theta-sketch set algebra: one row per group present in
+    EITHER side with (by..., est_a, est_b, est_union, jaccard,
+    est_intersection, est_a_minus_b, est_b_minus_a) — the per-language
+    crawl-overlap-between-snapshots query in one pass per side. Same
+    estimators as ``kmv_set_ops`` (union-sample Jaccard and A-not-B;
+    the intersection error degrades with the true Jaccard, not the
+    union size), computed per group; a group absent from one side
+    reports that side's estimate as 0. Deterministic — DuckDB
+    reproduces every value bit-for-bit (``duckdb_kmv_set_ops_by_sql``).
+
+    Scale shape: each grouped sketch is one shuffle of (group, h)
+    DISTINCT pairs; the set algebra then runs entirely on the tiny
+    (groups * k)-row sketch tables (ids-only joins keyed by
+    (group, h))."""
+    by = _norm_by(by)
+    # materialize each (groups * k)-row sketch once: each feeds 3-4
+    # plan subtrees and must not re-run its distinct + rank per consumer
+    sa = kmv_sketch_by(a_df, col, by, k, hash_scheme).localCheckpoint(
+        eager=True)
+    sb = kmv_sketch_by(b_df, col, by, k, hash_scheme).localCheckpoint(
+        eager=True)
+    merged = kmv_merge_by(sa, sb, by, k).localCheckpoint(eager=True)
+    key = by + ["h"]
+    match = (
+        merged.join(sa, key, "left_semi").join(sb, key, "left_semi")
+        .groupBy(*by).agg(F.count(F.lit(1)).alias("_m"))
+    )
+    a_only = (
+        merged.join(sa, key, "left_semi").join(sb, key, "left_anti")
+        .groupBy(*by).agg(F.count(F.lit(1)).alias("_ao"))
+    )
+    b_only = (
+        merged.join(sb, key, "left_semi").join(sa, key, "left_anti")
+        .groupBy(*by).agg(F.count(F.lit(1)).alias("_bo"))
+    )
+    msize = merged.groupBy(*by).agg(F.count(F.lit(1)).alias("_ms"))
+
+    def _frac_est(cnt: str, out: str):
+        return F.round(
+            F.round(F.coalesce(F.col(cnt), F.lit(0)) / F.col("_ms"), 6)
+            * F.col("est_union"), 1
+        ).alias(out)
+
+    return (
+        msize
+        .join(_kmv_est_by(merged, by, k, "est_union"), by)
+        .join(_kmv_est_by(sa, by, k, "est_a"), by, "left")
+        .join(_kmv_est_by(sb, by, k, "est_b"), by, "left")
+        .join(match, by, "left")
+        .join(a_only, by, "left")
+        .join(b_only, by, "left")
+        .select(
+            *by,
+            F.coalesce(F.col("est_a"), F.lit(0.0)).alias("est_a"),
+            F.coalesce(F.col("est_b"), F.lit(0.0)).alias("est_b"),
+            "est_union",
+            F.round(F.coalesce(F.col("_m"), F.lit(0)) / F.col("_ms"), 6)
+            .alias("jaccard"),
+            _frac_est("_m", "est_intersection"),
+            _frac_est("_ao", "est_a_minus_b"),
+            _frac_est("_bo", "est_b_minus_a"),
+        )
+    )
+
+
+def duckdb_kmv_set_ops_by_sql(col: str, by, k: int, source_a: str,
+                              source_b: str) -> str:
+    """Oracle twin of ``kmv_set_ops_by``."""
+    by = _norm_by(by)
+    h = duckdb_hash60(col)
+    rng = repr(_KMV_RANGE)
+    bys_cast = ", ".join(f"CAST({c} AS VARCHAR) AS {c}" for c in by)
+    bnames = ", ".join(by)
+    notnull = " AND ".join([f"{col} IS NOT NULL"]
+                           + [f"{c} IS NOT NULL" for c in by])
+
+    def sk(src: str, name: str) -> str:
+        return f"""{name} AS (
+            SELECT {bnames}, h FROM (
+                SELECT {bnames}, h,
+                       row_number() OVER (PARTITION BY {bnames}
+                                          ORDER BY h) AS rn
+                FROM (SELECT DISTINCT {bys_cast}, {h} AS h
+                      FROM {src} WHERE {notnull})
+            ) WHERE rn <= {k}
+        )"""
+
+    def est(cte: str, name: str, out: str) -> str:
+        return f"""{name} AS (
+            SELECT {bnames},
+                   round(CASE WHEN COUNT(*) < {k}
+                         THEN CAST(COUNT(*) AS DOUBLE)
+                         ELSE {float(k - 1)!r} * {rng} / MAX(h) END, 1)
+                       AS {out}
+            FROM {cte} GROUP BY {bnames}
+        )"""
+
+    def frac(cnt: str, out: str) -> str:
+        return (f"round(round(COALESCE({cnt}, 0) / CAST(ms AS DOUBLE), 6)"
+                f" * eu.est_union, 1) AS {out}")
+
+    on = " AND ".join(f"x.{c} = m.{c}" for c in by)
+    return f"""
+        WITH {sk(source_a, 'sa')},
+        {sk(source_b, 'sb')},
+        merged AS (
+            SELECT {bnames}, h FROM (
+                SELECT {bnames}, h,
+                       row_number() OVER (PARTITION BY {bnames}
+                                          ORDER BY h) AS rn
+                FROM (SELECT {bnames}, h FROM sa
+                      UNION SELECT {bnames}, h FROM sb)
+            ) WHERE rn <= {k}
+        ),
+        {est('sa', 'ea', 'est_a')},
+        {est('sb', 'eb', 'est_b')},
+        {est('merged', 'eu', 'est_union')},
+        mstats AS (
+            SELECT m.{', m.'.join(by)}, COUNT(*) AS ms,
+                   SUM(CASE WHEN EXISTS (SELECT 1 FROM sa x
+                                         WHERE {on} AND x.h = m.h)
+                            AND EXISTS (SELECT 1 FROM sb x
+                                        WHERE {on} AND x.h = m.h)
+                       THEN 1 ELSE 0 END) AS mm,
+                   SUM(CASE WHEN EXISTS (SELECT 1 FROM sa x
+                                         WHERE {on} AND x.h = m.h)
+                            AND NOT EXISTS (SELECT 1 FROM sb x
+                                            WHERE {on} AND x.h = m.h)
+                       THEN 1 ELSE 0 END) AS ao,
+                   SUM(CASE WHEN EXISTS (SELECT 1 FROM sb x
+                                         WHERE {on} AND x.h = m.h)
+                            AND NOT EXISTS (SELECT 1 FROM sa x
+                                            WHERE {on} AND x.h = m.h)
+                       THEN 1 ELSE 0 END) AS bo
+            FROM merged m GROUP BY ALL
+        )
+        SELECT mst.{', mst.'.join(by)},
+               COALESCE(ea.est_a, 0.0) AS est_a,
+               COALESCE(eb.est_b, 0.0) AS est_b,
+               eu.est_union,
+               round(COALESCE(mm, 0) / CAST(ms AS DOUBLE), 6) AS jaccard,
+               {frac('mm', 'est_intersection')},
+               {frac('ao', 'est_a_minus_b')},
+               {frac('bo', 'est_b_minus_a')}
+        FROM mstats mst
+        JOIN eu USING ({bnames})
+        LEFT JOIN ea USING ({bnames})
+        LEFT JOIN eb USING ({bnames})
+    """

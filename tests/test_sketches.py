@@ -119,6 +119,41 @@ def test_countmin_merge_equals_rebuild(spark):
     assert merged == direct
 
 
+def test_kmv_by_merge_equals_rebuild_and_absent_side(spark):
+    """Grouped KMV: per-group merge == rebuild exactly; a group present
+    on only one side reports the other side's estimate as 0 and
+    jaccard 0."""
+    df = spark.range(4000).selectExpr(
+        "CASE pmod(id, 3) WHEN 0 THEN 'x' WHEN 1 THEN 'y' ELSE 'z' "
+        "END AS g",
+        "concat('k', id) AS key")
+    left = sketches.kmv_sketch_by(
+        df.where("pmod(id, 2) = 0"), "key", ["g"], 64)
+    right = sketches.kmv_sketch_by(
+        df.where("pmod(id, 2) = 1"), "key", ["g"], 64)
+    merged = sorted(map(tuple, sketches.kmv_merge_by(
+        left, right, ["g"], 64).collect()))
+    direct = sorted(map(tuple, sketches.kmv_sketch_by(
+        df, "key", ["g"], 64).collect()))
+    assert merged == direct
+    # set ops with one group absent from side B
+    ops = sketches.kmv_set_ops_by(
+        df, df.where("g != 'z'"), "key", ["g"], 64)
+    rows = {r.g: r for r in ops.collect()}
+    assert set(rows) == {"x", "y", "z"}
+    assert rows["z"].est_b == 0.0 and rows["z"].jaccard == 0.0
+    assert rows["z"].est_intersection == 0.0
+    assert rows["x"].jaccard > 0.9  # identical sets per group
+    # per-group estimates within KMV relative error ~ 1/sqrt(k)
+    import math
+    true = {r.g: r.c for r in
+            df.groupBy("g").agg(F.countDistinct("key").alias("c"))
+            .collect()}
+    for g in ("x", "y"):
+        assert abs(rows[g].est_a - true[g]) / true[g] <= \
+            4.0 / math.sqrt(64), g
+
+
 def test_countmin_by_per_group_guarantee_and_merge(spark):
     """Grouped count-min: per-group tables are independent — each
     group's estimates never underestimate and ride the GROUP's total;
