@@ -483,35 +483,344 @@ class QF:
         self._index = None
         return self._insert_hash_nogrow(hv, value, add)
 
+    #: window gathered per occupied-home element for the block-ripple
+    #: batch insert: _WIN_BACK covers the cluster-start backward walk,
+    #: _WIN_FWD the run walk + ripple to the first empty slot. Clusters
+    #: outgrowing the window fall back to the scalar path (rare below
+    #: the max loading factor; sized so the windows stay cheap to
+    #: materialize — they dominate the fast path's cost).
+    _WIN_BACK = 16
+    _WIN_FWD = 32
+
     def insert_hashes(self, hv: np.ndarray, value: int = 0,
                       add: bool = False) -> np.ndarray:
         """Batched incremental insert of raw hashes — the hot path of
         streaming state maintenance (streaming.stateful_streaming_dedup).
-        Semantics identical to calling ``insert_hash`` per element in
-        ASCENDING hash order (growth included), but the per-insert
-        Python overhead is hoisted: one index invalidation, one bound-
-        method lookup, one numpy->python materialization for the whole
-        batch, and the ascending order keeps successive ripples inside
-        the same cluster neighborhood (ripple interactions between
-        inserts are inherently sequential — a genuinely vectorized
-        multi-insert is ``from_hashes``/``merge_many``'s bulk rebuild,
-        which wins once the batch is a meaningful fraction of the
-        state; callers pick per the batch/state ratio).
+        Result bytes and return flags identical to calling
+        ``insert_hash`` per element in ASCENDING hash order (growth
+        included — the layout is CANONICAL in the entry multiset, so
+        insertion order cannot change the bytes; differential-tested).
+
+        Block-ripple fast path: empty-home elements become pure
+        vectorized claims (one scatter_or — a claim never shifts
+        anything); for occupied-home elements ONE vectorized 2D
+        gather pulls a small window around each home slot, the exact
+        scalar insert algorithm runs per element against the cheap
+        materialized window (plain Python lists — no per-step
+        bit-vector accessor cost), and all modified slots write back
+        in ONE vectorized scatter. Elements whose affected regions
+        ([cluster floor, first empty slot]) interact — same island,
+        overlapping ripples, window overflow, or a table-wraparound
+        window — are demoted to the classic scalar path, which runs
+        AFTER the vector write-back against live state (so demotion
+        is always safe, never a correctness trade). Measured ~1.4-2x
+        under the per-key scalar loop, with the gap growing with
+        state size (cache misses paid per window, not per walk step;
+        scripts/profile_stream_insert.py). A genuinely batch-scale
+        rebuild is still ``from_hashes``/``merge_many``, which wins
+        once the batch is a meaningful fraction of the state.
 
         Returns the 'was already present' booleans aligned to the
         input order."""
         hv = np.ascontiguousarray(np.asarray(hv).astype(np.uint64,
                                                         copy=False))
         self._index = None
-        out = np.zeros(len(hv), dtype=bool)
+        n = len(hv)
+        out = np.zeros(n, dtype=bool)
+        if n == 0:
+            return out
         order = np.argsort(hv, kind="stable")
-        ins = self._insert_hash_nogrow
-        vals = hv[order].tolist()
-        for i, h in zip(order.tolist(), vals):
+        sh = hv[order]
+        # growth-safe chunks: within a chunk the entry count cannot
+        # reach max_entries, so the per-element doubling check hoists
+        # to the chunk boundary (doubling decisions — and therefore
+        # the final q_bits — match the sequential path exactly: the
+        # entry count is order-independent)
+        done = 0
+        while done < n:
             if self.entries >= self.max_entries:
                 self._double()
-            out[i] = ins(h, value, add)
+            room = self.max_entries - self.entries
+            chunk = sh[done:done + room]
+            out[order[done:done + len(chunk)]] = \
+                self._insert_hashes_chunk(chunk, value, add)
+            done += len(chunk)
         return out
+
+    def _insert_hashes_chunk(self, sh: np.ndarray, value: int,
+                             add: bool) -> np.ndarray:
+        """Insert one growth-safe chunk of ASCENDING hashes; returns
+        per-element 'already present' flags in chunk order.
+
+        Three tiers: empty-home elements become pure vectorized CLAIMS
+        (one scatter_or, no window needed — a claim never shifts
+        anything); occupied-home elements gather a small window each
+        (one 2D gather) and run the exact scalar algorithm against the
+        materialized window; elements whose affected regions interact
+        with a kept element's region — or overflow/wrap the window —
+        run the classic scalar path LAST, against live post-vector
+        state (always safe; the canonical layout makes the final bytes
+        order-independent)."""
+        n = len(sh)
+        out = np.zeros(n, dtype=bool)
+        size = self.size
+        back, fwd = self._WIN_BACK, self._WIN_FWD
+        win = back + fwd
+        dq = (sh >> U64(self.r_bits)).astype(np.int64)
+        cmask = self.counter_mask
+        has_storage = self.storage is not None
+
+        if win >= size:
+            # tiny filter: windows would wrap — all-scalar
+            scalar_ix = range(n)
+            present_scalar: list = []
+        else:
+            dr = (sh & self.r_mask).astype(np.int64)
+            home = self.filter.gather(dq)
+            empty_home = (home & U64(_META)) == 0
+            wrap = (dq < back) | (dq + fwd > size)
+            claim_rows = np.flatnonzero(empty_home)
+            occ_rows = np.flatnonzero(~empty_home & ~wrap)
+            scalar_list = list(np.flatnonzero(~empty_home & wrap))
+
+            # regions: a claim touches exactly its home slot; an
+            # occupied-home insert touches (cluster-floor, first empty
+            # >= home] — cluster-floor = the last empty slot <= home
+            # (the backward cluster walk can never reach an empty
+            # slot), first-empty = where the ripple lands.
+            dq_l = dq.tolist()
+            cand: list = [(dq_l[i], i, dq_l[i], -1)
+                          for i in claim_rows.tolist()]
+            wvals = svals = None
+            if occ_rows.size:
+                offs = np.arange(win, dtype=np.int64) - back
+                widx = dq[occ_rows, None] + offs[None, :]
+                wvals = self.filter.gather(widx.ravel()).reshape(
+                    occ_rows.size, win)
+                svals = (self.storage.gather(widx.ravel())
+                         .reshape(occ_rows.size, win)
+                         if has_storage else None)
+                meta_empty = (wvals & U64(_META)) == 0
+                left_empty = meta_empty[:, :back + 1]
+                s_col = back - np.argmax(left_empty[:, ::-1], axis=1)
+                e_col = back + np.argmax(meta_empty[:, back:], axis=1)
+                ok = left_empty.any(axis=1) & \
+                    meta_empty[:, back:].any(axis=1)
+                occ_l = occ_rows.tolist()
+                ok_l = ok.tolist()
+                s_l = (dq[occ_rows] + (s_col - back)).tolist()
+                e_l = (dq[occ_rows] + (e_col - back)).tolist()
+                for k in range(len(occ_l)):
+                    if ok_l[k]:
+                        cand.append((s_l[k], occ_l[k], e_l[k], k))
+                    else:
+                        scalar_list.append(occ_l[k])
+
+            # conflict sweep over ALL candidate regions in start order:
+            # overlap with a kept region demotes the later row to the
+            # scalar pass (which runs after the vector write-back, so
+            # demotion is always safe — a kept row's computation never
+            # depends on a demoted one). Equal-start ties keep the
+            # ascending-hash-first row, preserving duplicate-flag
+            # order.
+            cand.sort()
+            kept_claims: list = []
+            kept_occ: list = []  # (chunk row, window row)
+            kept_end = -1
+            first = True
+            for s, i, e, k in cand:
+                if not first and s <= kept_end:
+                    scalar_list.append(i)
+                    continue
+                first = False
+                kept_end = e
+                if k < 0:
+                    kept_claims.append(i)
+                else:
+                    kept_occ.append((i, k))
+
+            new_entries = 0
+            # tier 1: vectorized claims (target slots empty -> OR is
+            # assignment; the storage slot of a never-used slot is 0)
+            if kept_claims:
+                ck = np.array(kept_claims, dtype=np.int64)
+                self.filter.scatter_or(
+                    dq[ck],
+                    U64(_OCC) | (dr[ck].astype(U64) << U64(3)))
+                if has_storage:
+                    cv = min(value, cmask)
+                    if cv:
+                        self.storage.scatter_or(
+                            dq[ck], np.full(ck.size, cv, dtype=U64))
+                new_entries += len(kept_claims)
+
+            # tier 2: windowed emulation for kept occupied-home rows
+            if kept_occ:
+                vec_writes: dict[int, int] = {}
+                stor_writes: dict[int, int] = {}
+                wflat = wvals.ravel().tolist()
+                sflat = (svals.ravel().tolist()
+                         if has_storage else None)
+                dr_l = dr.tolist()
+                emulate = self._emulate_insert
+                present_rows = []
+                for i, k in kept_occ:
+                    res = emulate(wflat, sflat, k * win, win, back,
+                                  dr_l[i], value, add, cmask,
+                                  has_storage, vec_writes, stor_writes,
+                                  dq_l[i] - back - k * win)
+                    if res is None:
+                        scalar_list.append(i)
+                    elif res:
+                        present_rows.append(i)
+                    else:
+                        new_entries += 1
+                if present_rows:
+                    out[present_rows] = True
+                if vec_writes:
+                    self.filter.scatter(
+                        np.fromiter(vec_writes.keys(), dtype=np.int64,
+                                    count=len(vec_writes)),
+                        np.fromiter(vec_writes.values(), dtype=U64,
+                                    count=len(vec_writes)))
+                if stor_writes:
+                    self.storage.scatter(
+                        np.fromiter(stor_writes.keys(), dtype=np.int64,
+                                    count=len(stor_writes)),
+                        np.fromiter(stor_writes.values(), dtype=U64,
+                                    count=len(stor_writes)))
+            self.entries += new_entries
+            scalar_list.sort()
+            scalar_ix = scalar_list
+            present_scalar = []
+
+        ins = self._insert_hash_nogrow
+        shl = None
+        for i in scalar_ix:
+            if shl is None:
+                shl = sh.tolist()
+            if ins(shl[i], value, add):
+                present_scalar.append(i)
+        if present_scalar:
+            out[present_scalar] = True
+        return out
+
+    @staticmethod
+    def _emulate_insert(vals: list, stor: list | None, off: int,
+                        win: int, back: int, dr: int, value: int,
+                        add: bool, cmask: int, has_storage: bool,
+                        writes: dict, swrites: dict, base: int):
+        """The exact ``_insert_hash_nogrow`` algorithm run against a
+        materialized window (flat Python list; this row's window spans
+        ``vals[off:off + win]`` with the home slot at ``off + back``).
+        Records modified slots into the shared ``writes``/``swrites``
+        dicts keyed by ABSOLUTE slot (``base`` maps flat index ->
+        slot). Returns the 'was present' flag, or None when the walk
+        leaves the window — every write of this call is rolled back
+        and the caller falls back to the scalar path. Caller
+        guarantees the home slot is non-empty (empty homes take the
+        vectorized claim tier) and kept regions are disjoint (so the
+        absolute keys of distinct rows never collide)."""
+        touched: list = []
+        lo = off
+        hi = off + win
+        B = off + back
+        sd = vals[B]
+
+        extending = bool(sd & _OCC)
+        if not extending:
+            vals[B] = sd | _OCC
+            writes[base + B] = vals[B]
+            touched.append(B)
+
+        run_start = B
+        if sd & _SHIFT:
+            runs, complete = 1, 0
+            i = B
+            while True:
+                if i < lo:
+                    writes.pop(base + B, None)
+                    return None
+                sdi = vals[i]
+                if not (sdi & _CONT):
+                    complete += 1
+                if not (sdi & _SHIFT):
+                    break
+                if sdi & _OCC:
+                    runs += 1
+                i -= 1
+            pos = B
+            while runs > complete:
+                pos += 1
+                if pos >= hi:
+                    writes.pop(base + B, None)
+                    return None
+                if not (vals[pos] & _CONT):
+                    complete += 1
+            run_start = pos
+
+        # find sorted position within the run
+        slot = run_start
+        cur = vals[slot]
+        if extending:
+            while True:
+                if (cur & _META) == 0 or (cur >> 3) >= dr:
+                    break
+                slot += 1
+                if slot >= hi:
+                    writes.pop(base + B, None)
+                    return None
+                cur = vals[slot]
+                if not (cur & _CONT):
+                    break
+            if (cur & _META) != 0 and (cur >> 3) == dr and (
+                slot == run_start or (cur & _CONT)
+            ):
+                # duplicate within our own run
+                if has_storage:
+                    nv = min(stor[slot] + value, cmask) if add \
+                        else min(value, cmask)
+                    swrites[base + slot] = nv
+                    stor[slot] = nv
+                return True
+
+        # case 3: ripple-shift the new remainder into place
+        shifted_bit = slot != B
+        cont_bit = slot != run_start
+        cur_r = dr
+        cur_v = min(value, cmask)
+        while True:
+            old = vals[slot]
+            new = (
+                (old & _OCC)
+                | (_CONT if cont_bit else 0)
+                | (_SHIFT if shifted_bit else 0)
+                | (cur_r << 3)
+            )
+            vals[slot] = new
+            writes[base + slot] = new
+            touched.append(slot)
+            if has_storage:
+                old_v = stor[slot]
+                stor[slot] = cur_v
+                swrites[base + slot] = cur_v
+                cur_v = old_v
+            if (old & _META) == 0:
+                break
+            if (slot == run_start and extending) or (old & _CONT):
+                cont_bit = True
+            else:
+                cont_bit = False
+            cur_r = old >> 3
+            slot += 1
+            if slot >= hi:
+                for t in touched:
+                    writes.pop(base + t, None)
+                    if has_storage:
+                        swrites.pop(base + t, None)
+                return None
+            shifted_bit = True
+        return False
 
     def _read(self, slot: int) -> int:
         return self.filter.get(slot)

@@ -4,17 +4,26 @@
 grows — the property that makes applyInPandasWithState dedup O(batch)
 per micro-batch in steady state rather than O(state).
 
-Representative numbers on this box (round 4): ~3-5 us/insert at every
-state size from 1e5 to 4e6 — FLAT in state (the claim under test; a
-batch of 200 costs under 1 ms whether the state holds 1e5 or 4e6
-keys). The batched entry point's win over the per-key insert_hash loop
-is modest at these scales (one index invalidation and one growth-check
-hoist); its real value is giving the streaming state function a single
-vectorizable call with differential-tested parity. The decode+rebuild
-path costs ~0.14 s per million state rows, which is why the streaming
-branch switches to rebuild once batch*16 >= state.
+Representative numbers on this box (round 5, block-ripple path;
+median over 29 batches, which this box's ±2-4x noise makes mandatory —
+single-batch timings are meaningless): ~1.9-2.7 us/insert at 1e5
+state, ~2.9-4.3 us/insert at 4e6 state, vs the per-key insert_hash
+loop's ~2.6-3.1 / ~6.6-7.7 — a ~1.4-2x win that GROWS with state
+(the big-state gap is cache misses on the random home-slot probes,
+which the batched path pays once per window instead of once per
+walk step). The fast path: empty-home inserts become one vectorized
+scatter_or claim; occupied-home inserts gather a 48-slot window each
+in one 2D gather and run the exact scalar algorithm against the
+materialized window; interacting regions fall back to the scalar
+path against live state (differential-tested parity, growth
+included). Remaining floor: ~0.3-0.5 us/insert of cache misses at
+4e6 state plus the per-occupied-row Python emulation (~60% of
+inserts at 0.48 loading). The decode+rebuild path costs ~0.14 s per
+million state rows, which is why the streaming branch switches to
+rebuild once batch*16 >= state.
 """
 
+import statistics
 import sys
 import time
 
@@ -36,25 +45,37 @@ def rand64(n):
 
 
 def main():
-    batch_n = 200
-    print(f"{'state':>12} {'batched ms':>11} {'us/insert':>10} "
-          f"{'scalar ms':>10} {'load':>5}")
+    print(f"{'state':>12} {'batch':>6} {'us/ins med':>11} "
+          f"{'us/ins best':>12} {'scalar med':>11} {'load':>5}")
     for n_state in (100_000, 1_000_000, 4_000_000):
         state_h = np.unique(rand64(n_state))
-        qf = QF.from_hashes(state_h, None, QFConfig(counter_bits=0))
-        batch = rand64(batch_n)
-        t0 = time.time()
-        qf.insert_hashes(batch, value=1)
-        dt = time.time() - t0
-
-        qf2 = QF.from_hashes(state_h, None, QFConfig(counter_bits=0))
-        t0 = time.time()
-        for h in batch.tolist():
-            qf2.insert_hash(int(h), value=1)
-        dt2 = time.time() - t0
-        print(f"{n_state:>12,} {dt * 1000:>11.2f} "
-              f"{dt / batch_n * 1e6:>10.1f} {dt2 * 1000:>10.2f} "
-              f"{qf.loading():>5.2f}")
+        for batch_n in (200, 2000):
+            qf = QF.from_hashes(state_h, None, QFConfig(counter_bits=0))
+            batches = [rand64(batch_n) for _ in range(30)]
+            qf.insert_hashes(batches[0], value=1)  # warmup
+            times = []
+            for b in batches[1:]:
+                t0 = time.perf_counter()
+                qf.insert_hashes(b, value=1)
+                times.append(time.perf_counter() - t0)
+            med = statistics.median(times)
+            best = min(times)
+            scal = ""
+            if batch_n == 200:
+                qf2 = QF.from_hashes(state_h, None,
+                                     QFConfig(counter_bits=0))
+                stimes = []
+                for _ in range(15):
+                    bb = rand64(200)
+                    t0 = time.perf_counter()
+                    for h in bb.tolist():
+                        qf2.insert_hash(int(h), value=1)
+                    stimes.append(time.perf_counter() - t0)
+                scal = f"{statistics.median(stimes) / 200 * 1e6:>11.2f}"
+            print(f"{n_state:>12,} {batch_n:>6} "
+                  f"{med / batch_n * 1e6:>11.2f} "
+                  f"{best / batch_n * 1e6:>12.2f} {scal:>11} "
+                  f"{qf.loading():>5.2f}")
 
 
 if __name__ == "__main__":
