@@ -216,6 +216,19 @@ def build_qf(
     blobs (~12 bytes per distinct key). Duplicate-key skew is absorbed by
     the partition-local aggregation (map-side combine), so a key repeated
     a billion times costs one pair per partition it appears in.
+
+    DRIVER-RAM BOUND: the merged build materializes up to
+    ``driver_merge_limit`` partial blobs on the driver at once, each up
+    to ~12 bytes per distinct key in its partition slice — so peak
+    driver memory is ~12 bytes x total distinct keys (the collected
+    blobs plus the np.unique merge buffer), independent of
+    ``driver_merge_limit``. That makes this entry point right for
+    filters whose DISTINCT-KEY count fits driver memory (billions of
+    keys = tens of GB: no). Past that, use ``build_sharded_qf`` — the
+    scale path — which routes each hash to its shard on executors and
+    never assembles the whole key set anywhere (the driver sees only
+    per-shard metadata rows); its lookup side is the same
+    ``ShardedQF`` API. See ARCHITECTURE.md "Sizing the build path".
     """
     config = config or QFConfig(hash_name=DEFAULT_HASH, counter_bits=32)
     keys = _keys_nonnull(df, col)

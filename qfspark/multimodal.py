@@ -15,10 +15,14 @@ Decode coverage is split by what this container can honestly do:
   end-to-end (the ``media_image_decode`` entry query generates BMP bytes
   in-executor, decodes them, and DuckDB verifies the extracted
   dimensions/colors against closed-form expectations).
-* **Stubbed codecs** — JPEG/PNG/MP4 etc. need external libraries absent
-  from this container; those payloads fall through to a deterministic
-  byte-level featurizer (histogram + moments), and ``_try_real_decoder``
-  is the documented plug-point for wiring real ones in.
+* **Optional real codecs** — JPEG/PNG decode via PIL when it is
+  importable (``_pil_featurizer``; same ``_rgb_features`` recipe as the
+  BMP path, so codecs never change the feature contract — pinned by a
+  PIL-gated test that compares PNG and BMP features for identical
+  pixels). Where PIL is absent (this container), those payloads fall
+  through to a deterministic byte-level featurizer (histogram +
+  moments) exactly as before; ``_try_real_decoder`` remains the
+  plug-point for wiring other decoders in.
 
 Scale notes: media bytes never pass through a shuffle (features are
 extracted in the scan stage's partitions via ``mapInPandas``); only the
@@ -126,11 +130,13 @@ def resize_image(pixels: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     return pixels[yi][:, xi]
 
 
-def image_features(payload: bytes) -> np.ndarray:
-    """Real image features from a decoded BMP: (width, height, mean R,
-    mean G, mean B, std luma, then a 10-bucket luma histogram). Raises
-    on non-BMP input (callers sniff first)."""
-    img = decode_bmp(payload).astype(np.float64)
+def _rgb_features(img: np.ndarray) -> np.ndarray:
+    """Shared image feature recipe over an (h, w, 3) RGB array:
+    (width, height, mean R, mean G, mean B, std luma, 10-bucket luma
+    histogram) — identical whether the pixels came from the stdlib BMP
+    decoder or an optional real codec, so swapping codecs never
+    changes the feature contract."""
+    img = img.astype(np.float64)
     luma = img @ np.array([0.299, 0.587, 0.114])
     hist = np.histogram(luma, bins=10, range=(0.0, 256.0))[0]
     hist = hist / luma.size
@@ -140,6 +146,32 @@ def image_features(payload: bytes) -> np.ndarray:
          luma.std()]
         + hist.tolist())
     return out.astype(np.float32)
+
+
+def image_features(payload: bytes) -> np.ndarray:
+    """Real image features from a decoded BMP. Raises on non-BMP input
+    (callers sniff first)."""
+    return _rgb_features(decode_bmp(payload))
+
+
+def _pil_featurizer():
+    """Optional real codec path: a ``bytes -> features`` callable that
+    decodes JPEG/PNG via PIL when it is importable, else None (this
+    container ships no media libraries — the deterministic BMP/WAV
+    decoders remain the oracle-checked correctness gate either way).
+    The features are the same ``_rgb_features`` recipe as the BMP
+    path."""
+    try:
+        from PIL import Image
+    except ImportError:
+        return None
+
+    def _decode(payload: bytes) -> np.ndarray:
+        with Image.open(io.BytesIO(payload)) as im:
+            arr = np.asarray(im.convert("RGB"))
+        return _rgb_features(arr)
+
+    return _decode
 
 
 def encode_wav(samples: np.ndarray, framerate: int = 16000) -> bytes:
@@ -192,12 +224,18 @@ def audio_features(payload: bytes) -> np.ndarray:
 
 
 def sniff_kind(payload: bytes) -> str | None:
-    """Magic-byte format sniff: 'bmp' | 'wav' | None (unknown codec)."""
+    """Magic-byte format sniff: 'bmp' | 'wav' (stdlib decoders) |
+    'png' | 'jpeg' (decoded only when an optional codec is wired —
+    ``_pil_featurizer``) | None (unknown codec)."""
     if len(payload) >= 2 and payload[:2] == b"BM":
         return "bmp"
     if (len(payload) >= 12 and payload[:4] == b"RIFF"
             and payload[8:12] == b"WAVE"):
         return "wav"
+    if len(payload) >= 8 and payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png"
+    if len(payload) >= 3 and payload[:3] == b"\xff\xd8\xff":
+        return "jpeg"
     return None
 
 
@@ -247,6 +285,7 @@ def extract_media_features(
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         decoder = _try_real_decoder(kind)
+        pil = _pil_featurizer()
         for pdf in batches:
             for start in range(0, len(pdf), batch_limit):
                 chunk = pdf.iloc[start : start + batch_limit]
@@ -256,8 +295,12 @@ def extract_media_features(
                 feats, kinds = [], []
                 for p in payloads:
                     sniffed = sniff_kind(p)
-                    if sniffed is not None:
+                    if sniffed in REAL_FEATURIZERS:
                         feats.append(REAL_FEATURIZERS[sniffed](p))
+                        kinds.append(sniffed)
+                    elif sniffed in ("png", "jpeg") and pil is not None:
+                        # optional real codec (PIL importable)
+                        feats.append(pil(p))
                         kinds.append(sniffed)
                     elif decoder is not None:  # pragma: no cover
                         feats.append(decoder(p))

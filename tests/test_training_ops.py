@@ -249,6 +249,88 @@ def test_sample_frames_shapes(spark):
     assert (frames["frame"].map(len) <= 128).all()
 
 
+def _encode_png(pixels):
+    """Minimal lossless RGB PNG encoder (stdlib zlib + struct) — test
+    fixture so the optional-PIL path has a REAL payload to decode
+    without shipping image libraries."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w, _ = pixels.shape
+
+    def chunk(tag, data):
+        c = struct.pack(">I", len(data)) + tag + data
+        return c + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+
+    raw = b"".join(
+        b"\x00" + pixels[y].astype(np.uint8).tobytes() for y in range(h))
+    return (b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b""))
+
+
+def _test_pixels():
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    return rng.randint(0, 256, (12, 17, 3)).astype(np.uint8)
+
+
+def test_png_jpeg_sniffing():
+    from qfspark import multimodal
+
+    assert multimodal.sniff_kind(_encode_png(_test_pixels())) == "png"
+    assert multimodal.sniff_kind(b"\xff\xd8\xff\xe0rest") == "jpeg"
+    assert multimodal.sniff_kind(b"\x89PNGxx") is None  # bad magic tail
+
+
+def test_png_without_pil_falls_back_deterministically(spark):
+    """No PIL in this container: PNG payloads take the fake-featurizer
+    path with the caller's declared kind — the pre-round-5 contract,
+    unchanged."""
+    import sys
+
+    from qfspark import multimodal
+
+    if "PIL" in sys.modules or multimodal._pil_featurizer() is not None:
+        pytest.skip("PIL importable here; fallback path not reachable")
+    png = _encode_png(_test_pixels())
+    df = spark.createDataFrame([("p1", bytearray(png))],
+                               "media_id string, payload binary")
+    row = multimodal.extract_media_features(
+        df, "media_id", "payload", kind="image").collect()[0]
+    assert row.kind == "image"  # declared kind, not sniffed
+    import numpy as np
+    assert np.allclose(row.features,
+                       multimodal.fake_features(png).tolist())
+
+
+def test_png_with_pil_matches_bmp_features(spark):
+    """With PIL importable the PNG path must produce EXACTLY the BMP
+    path's features for the same pixels (shared _rgb_features recipe;
+    PNG is lossless). Skipped where PIL is absent."""
+    pytest.importorskip("PIL")
+    import numpy as np
+
+    from qfspark import multimodal
+
+    pixels = _test_pixels()
+    png = _encode_png(pixels)
+    bmp = multimodal.encode_bmp(pixels)
+    df = spark.createDataFrame(
+        [("png1", bytearray(png)), ("bmp1", bytearray(bmp))],
+        "media_id string, payload binary")
+    rows = {r.media_id: r for r in multimodal.extract_media_features(
+        df, "media_id", "payload", kind="image").collect()}
+    assert rows["png1"].kind == "png"
+    assert rows["bmp1"].kind == "bmp"
+    assert np.allclose(rows["png1"].features, rows["bmp1"].features,
+                       atol=1e-5)
+
+
 def test_media_decoder_probe_never_raises(monkeypatch):
     """Media libs being importable must NOT crash the feature probe
     (round-1 defect: NotImplementedError escaped when PIL existed)."""
