@@ -177,13 +177,27 @@ def cmd_sketch(args) -> int:
                 print(f"# {len(rows)} counters; undercount budget err={err}")
         elif args.what == "quantiles":
             qs = [float(x) for x in args.qs.split(",")]
-            vals = df.select(F.col(col).cast("double").alias(col))
-            if args.quantile_sketch == "tdigest":
-                d = sketches.tdigest_build(vals, col, args.compression)
+            if by:
+                # grouped path: per-group KLL (O(1/k) rank error),
+                # merged on executors — one pass however many groups
+                rows = sketches.kll_quantiles_by(
+                    df.select(*by,
+                              F.col(col).cast("double").alias(col)),
+                    col, by, qs, k=args.kll_k).orderBy(*by, "q").collect()
+                for r in rows:
+                    g = ",".join(str(r[c]) for c in by)
+                    print(f"{g}\tq{r.q:g}\t{r.est}")
+                print(f"# grouped KLL, k={args.kll_k} "
+                      f"(rank error ~ 12/k per group)")
             else:
-                d = sketches.kll_build(vals, col, args.kll_k)
-            for q in qs:
-                print(f"q{q:g}\t{d.quantile(q)}")
+                vals = df.select(F.col(col).cast("double").alias(col))
+                if args.quantile_sketch == "tdigest":
+                    d = sketches.tdigest_build(vals, col,
+                                               args.compression)
+                else:
+                    d = sketches.kll_build(vals, col, args.kll_k)
+                for q in qs:
+                    print(f"q{q:g}\t{d.quantile(q)}")
         elif args.what == "f2":
             row = sketches.ams_f2_estimate(
                 sketches.ams_f2_table(df, col, args.depth, args.width),

@@ -1408,17 +1408,10 @@ class KLLSketch:
         return items[-1][0]
 
 
-def kll_build(df: DataFrame, value_col: str, k: int = 256,
-              fan: int = 64) -> KLLSketch:
-    """Distributed KLL: per-partition sketches via mapInPandas, tree-
-    merged. The exchange is O(partitions * k * log) level rows; when
-    the input has more than ``fan`` partitions an intermediate
-    applyInPandas stage (keyed by ``spark_partition_id % fan``) merges
-    the compactor rows in groups — KLL merge IS union-then-compress,
-    so each group merge is the sketch's own associative merge — and
-    the driver collects at most fan * O(k log) rows regardless of
-    partition count. Merge-tree independence within the documented
-    merged bound is pinned in tests/test_sketches.py."""
+def kll_partials(df: DataFrame, value_col: str, k: int = 256) -> DataFrame:
+    """Per-partition KLL compactor rows (level, value) — the mergeable
+    partial-state form (union of partial tables IS the KLL merge; a
+    compaction pass restores the size bound). NULL values excluded."""
     import pandas as pd
 
     kk = k
@@ -1433,8 +1426,44 @@ def kll_build(df: DataFrame, value_col: str, k: int = 256,
                 {"level": [r[0] for r in rows],
                  "value": [r[1] for r in rows]})
 
-    partials = df.select(value_col).mapInPandas(
+    return df.select(value_col).mapInPandas(
         _partial, "level int, value double")
+
+
+def kll_compact_partials(df: DataFrame, k: int = 256) -> DataFrame:
+    """Compact a compactor-row table back to <= O(k log n) rows: one
+    rebuild-and-re-emit (union-then-compress IS the KLL merge). The
+    streaming maintenance path runs this per micro-batch so state
+    stays bounded regardless of stream length."""
+    import pandas as pd
+
+    kk = k
+
+    def _compact(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        sk = _kll_from_level_rows(pdf["level"], pdf["value"], kk)
+        rows = [(h, v) for h, buf in enumerate(sk.levels) for v in buf]
+        return pd.DataFrame({"level": [r[0] for r in rows],
+                             "value": [r[1] for r in rows]})
+
+    return (df.withColumn("_g", F.lit(1)).groupBy("_g")
+            .applyInPandas(_compact, "level int, value double"))
+
+
+def kll_build(df: DataFrame, value_col: str, k: int = 256,
+              fan: int = 64) -> KLLSketch:
+    """Distributed KLL: per-partition sketches via mapInPandas, tree-
+    merged. The exchange is O(partitions * k * log) level rows; when
+    the input has more than ``fan`` partitions an intermediate
+    applyInPandas stage (keyed by ``spark_partition_id % fan``) merges
+    the compactor rows in groups — KLL merge IS union-then-compress,
+    so each group merge is the sketch's own associative merge — and
+    the driver collects at most fan * O(k log) rows regardless of
+    partition count. Merge-tree independence within the documented
+    merged bound is pinned in tests/test_sketches.py."""
+    import pandas as pd
+
+    kk = k
+    partials = kll_partials(df, value_col, k)
     if df.rdd.getNumPartitions() > fan:
         def _merge_group(pdf: "pd.DataFrame") -> "pd.DataFrame":
             sk = _kll_from_level_rows(pdf["level"], pdf["value"], kk)
@@ -1585,6 +1614,30 @@ def kll_merge_partials_by(a: DataFrame, b: DataFrame) -> DataFrame:
     concatenation, and the next per-group merge's compress restores
     the invariants (KLL merge IS union-then-compress)."""
     return a.unionByName(b)
+
+
+def kll_compact_partials_by(df: DataFrame, by, k: int = 256) -> DataFrame:
+    """Per-group compaction of a grouped compactor-row table back to
+    <= O(k log n_g) rows per group (the grouped twin of
+    ``kll_compact_partials``; the streaming ``kll_by`` kind's state
+    bound)."""
+    import pandas as pd
+
+    by = _norm_by(by)
+    kk = k
+
+    def _compact(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        sk = _kll_from_level_rows(pdf["level"], pdf["value"], kk)
+        rows = [(h, v) for h, buf in enumerate(sk.levels) for v in buf]
+        out = pd.DataFrame({"level": [r[0] for r in rows],
+                            "value": [r[1] for r in rows]})
+        for c in by:
+            out[c] = pdf[c].iloc[0]
+        return out[by + ["level", "value"]]
+
+    schema = ", ".join(f"`{c}` string" for c in by) \
+        + ", level int, value double"
+    return df.groupBy(*by).applyInPandas(_compact, schema)
 
 
 # ===========================================================================

@@ -210,6 +210,14 @@ def stream_sketch(
       PER-GROUP frequency tables (``countmin_query_by`` over the
       state; cell-wise sum merge is exact, so state is row-identical
       to a batch build over the union)
+    * ``kind='kll'`` / ``kind='kll_by'`` (params: value_col, k [, by])
+      — running (per-group) quantile sketch: state is the compactor-
+      row table, merged by union + compaction (union-then-compress IS
+      the KLL merge), so state stays <= O(k log n) rows per group at
+      any stream length. Quantiles over the union hold the MERGED
+      sketch's rank bound, not row-identity (like MG, the compactor
+      contents depend on the merge tree; the bound is what's tested).
+      Read with ``load_stream_sketch`` + ``_kll_from_level_rows``.
     * ``kind='priority_by'`` (params: by, weight_col, k) — running
       per-group weight-sensitive sample (exact merge: per-group
       top-(k+1) of a union is the top-(k+1) of concatenated sketches)
@@ -302,6 +310,19 @@ def stream_sketch(
                 df, col, params["by"], params.get("depth", 4),
                 params.get("width", 1024), hash_scheme=scheme),
             lambda a, b: sketches.countmin_merge_by(params["by"], a, b),
+        ),
+        "kll": (
+            lambda df: sketches.kll_partials(
+                df, params.get("value_col", col), params.get("k", 256)),
+            lambda a, b: sketches.kll_compact_partials(
+                a.unionByName(b), params.get("k", 256)),
+        ),
+        "kll_by": (
+            lambda df: sketches.kll_partials_by(
+                df, params.get("value_col", col), params["by"],
+                params.get("k", 256)),
+            lambda a, b: sketches.kll_compact_partials_by(
+                a.unionByName(b), params["by"], params.get("k", 256)),
         ),
         "priority_by": (
             lambda df: sketches.priority_sample_by(

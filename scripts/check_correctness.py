@@ -49,9 +49,14 @@ def _norm(v):
 def main():
     argv = list(sys.argv[1:])
     only = None
+    json_out = None
     if "--only" in argv:
         i = argv.index("--only")
         only = set(argv[i + 1].split(","))
+        del argv[i:i + 2]
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
         del argv[i:i + 2]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     import duckdb
@@ -75,12 +80,16 @@ def main():
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     failures = 0
+    record = {}
     for name, fn in qs.items():
         if only is not None and name not in only:
             continue
         sdf = fn(spark, sf_dir).toPandas()
         if name not in oracles:
             print(f"{name:28s} rows={len(sdf):8d}  (no oracle: rows-only check)")
+            record[name] = {"rows_match": None, "schema_match": None,
+                            "hash_match": None, "spark_rows": len(sdf),
+                            "oracle_rows": None, "err": None}
             continue
         odf = con.sql(oracles[name]).df()
         ok_rows = len(sdf) == len(odf)
@@ -90,6 +99,9 @@ def main():
         status = "OK " if (ok_rows and ok_cols and ok_hash) else "FAIL"
         if status == "FAIL":
             failures += 1
+        record[name] = {"rows_match": ok_rows, "schema_match": ok_cols,
+                        "hash_match": ok_hash, "spark_rows": len(sdf),
+                        "oracle_rows": len(odf), "err": None}
         print(
             f"{name:28s} {status} rows {len(sdf)}/{len(odf)} "
             f"cols={'=' if ok_cols else sorted(sdf.columns)} hash={'=' if ok_hash else (ds[:12] + '!=' + do[:12])}"
@@ -105,6 +117,13 @@ def main():
             print(a[neq].head(3))
             print(b[neq].head(3))
     spark.stop()
+    if json_out:
+        import json
+
+        with open(json_out, "w") as f:
+            json.dump({"sf_dir": sf_dir, "failures": failures,
+                       "queries": record}, f, indent=1)
+        print(f"wrote {json_out}")
     sys.exit(1 if failures else 0)
 
 

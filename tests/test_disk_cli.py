@@ -251,6 +251,27 @@ def test_cli_sketch_grouped(tmp_path, spark, capsys):
     assert "de\td0\t[10, 10]" in out
 
 
+def test_cli_sketch_quantiles_grouped(tmp_path, spark, capsys):
+    """`sketch quantiles --by g`: per-group KLL quantiles."""
+    import pandas as pd
+
+    from qfspark.cli import main
+
+    pq = str(tmp_path / "gq.parquet")
+    pd.DataFrame({
+        "g": ["a"] * 500 + ["b"] * 500,
+        "v": list(range(500)) + [10 * x for x in range(500)],
+    }).to_parquet(pq)
+    assert main(["sketch", "quantiles", "--input", pq, "--column", "v",
+                 "--by", "g", "--qs", "0.5"]) == 0
+    out = capsys.readouterr().out
+    # medians: ~249-250 for a, ~2490-2500 for b (exact small groups)
+    a_med = float(out.split("a\tq0.5\t")[1].split("\n")[0])
+    b_med = float(out.split("b\tq0.5\t")[1].split("\n")[0])
+    assert abs(a_med - 250) <= 25 and abs(b_med - 2500) <= 250
+    assert "grouped KLL" in out
+
+
 def test_cli_sketch_setops(tmp_path, spark, capsys):
     a = tmp_path / "a.txt"
     b = tmp_path / "b.txt"

@@ -408,6 +408,67 @@ def test_stream_sketch_grouped_matches_batch(spark, kind, params):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+@pytest.mark.parametrize("kind", ["kll", "kll_by"])
+def test_stream_sketch_kll_bound_over_union(spark, kind):
+    """Streaming KLL state: quantiles read off the state after N
+    micro-batches stay within the MERGED sketch's rank bound of the
+    exact quantiles over the union (row-identity doesn't hold for
+    KLL — compactor contents depend on the merge tree; the bound is
+    the contract). State stays bounded (compaction ran)."""
+    import os
+
+    from qfspark import sketches
+    from qfspark.streaming import load_stream_sketch, stream_sketch
+
+    tmp = tempfile.mkdtemp(prefix=f"qfsk_{kind}_")
+    src = f"{tmp}/src"
+    state = f"{tmp}/state"
+    k = 256
+    try:
+        ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+            F.col("event_type").alias("lang"),
+            (F.col("user_id") % 9973).cast("double").alias("v"))
+        os.makedirs(src, exist_ok=True)
+        ev.where("CAST(v AS BIGINT) % 2 = 0").toPandas().to_parquet(
+            f"{src}/b0.parquet")
+        ev.where("CAST(v AS BIGINT) % 2 = 1").toPandas().to_parquet(
+            f"{src}/b1.parquet")
+        stream = (spark.readStream.schema("lang string, v double")
+                  .option("maxFilesPerTrigger", "1").parquet(src))
+        kwargs = {"by": ["lang"]} if kind == "kll_by" else {}
+        q = stream_sketch(stream, "v", state, kind=kind,
+                          value_col="v", k=k,
+                          trigger={"availableNow": True}, **kwargs)
+        q.awaitTermination(240)
+        rows = load_stream_sketch(spark, state).collect()
+        groups = {}
+        for r in rows:
+            key = r.lang if kind == "kll_by" else None
+            ls, vs = groups.setdefault(key, ([], []))
+            ls.append(r.level)
+            vs.append(r.value)
+        exact = {}
+        for r in ev.collect():
+            key = r.lang if kind == "kll_by" else None
+            exact.setdefault(key, []).append(r.v)
+        assert set(groups) == set(exact)
+        for g, (ls, vs) in groups.items():
+            # bounded state: compaction ran per micro-batch
+            assert len(ls) <= 4 * k
+            sk = sketches._kll_from_level_rows(ls, vs, k)
+            svals = sorted(exact[g])
+            for qq in (0.1, 0.5, 0.9):
+                est = sk.quantile(qq)
+                import bisect
+                lo = bisect.bisect_left(svals, est) / len(svals)
+                hi = bisect.bisect_right(svals, est) / len(svals)
+                err = max(0.0, lo - qq, qq - hi)
+                # multi-round merged bound (2 batches + compactions)
+                assert err <= 24.0 / k, (g, qq, err)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def test_stream_sketch_priority_by_matches_batch(spark):
     """Streaming grouped priority sample: state after N micro-batches
     is row-identical to a batch priority_sample_by over the union
