@@ -370,8 +370,9 @@ def main() -> None:
         "hll_url_cardinality", "countmin_url_freq",
         "bloom_url_membership", "bottomk_quantiles",
         "heavy_hitters", "heavy_hitters_by_lang", "priority_sample",
-        "hll_url_set_ops", "kmv_url_set_ops",
+        "hll_url_set_ops", "kmv_url_set_ops", "kmv_set_ops_by_lang",
         "hll_by_lang", "hll_by_hour", "quantiles_by_lang",
+        "quantiles_by_lang_kll", "countmin_by_lang",
         # crawl URL canonicalization + pipeline hygiene
         "url_normalize", "scrub_pii", "decontaminate",
     ]
@@ -445,6 +446,41 @@ def main() -> None:
         timings[f"cqf_build_sharded_storage_{rows_built // 1_000_000}m"])
     spark.stop()
 
+    # streaming-state incremental insert (pure kernel, no JVM): median
+    # us/insert of the round-5 block-ripple batch path at 1M-state —
+    # the per-micro-batch cost of applyInPandasWithState dedup
+    stream_insert = {}
+    try:
+        import numpy as np
+
+        from qfspark.kernel import QF
+        from qfspark.sizing import QFConfig
+
+        rng = np.random.RandomState(7)
+
+        def _r64(n):
+            return (rng.randint(0, 2 ** 63, n).astype(np.uint64)
+                    * np.uint64(2)
+                    + rng.randint(0, 2, n).astype(np.uint64))
+
+        qf = QF.from_hashes(np.unique(_r64(1_000_000)), None,
+                            QFConfig(counter_bits=0))
+        qf.insert_hashes(_r64(200), value=1)  # warmup
+        ts = []
+        for _ in range(15):
+            b = _r64(200)
+            t0 = time.perf_counter()
+            qf.insert_hashes(b, value=1)
+            ts.append(time.perf_counter() - t0)
+        stream_insert = {
+            "state_rows": 1_000_000, "batch": 200,
+            "us_per_insert_median": round(
+                statistics.median(ts) / 200 * 1e6, 2),
+            "us_per_insert_best": round(min(ts) / 200 * 1e6, 2),
+        }
+    except Exception as e:  # pragma: no cover
+        stream_insert = {"error": str(e)[:200]}
+
     if os.environ.get("SPARK_GRAFT_SKIP_SCALING"):
         # quick-validation mode: per-query timings only (the scaling
         # protocol is ~25 min of fresh JVMs; skip when iterating)
@@ -472,6 +508,7 @@ def main() -> None:
         "query_trials": trials_log,
         "query_stat": f"median of {QUERY_TRIALS}",
         "simhash_candidates": cand_stats,
+        "stream_insert": stream_insert,
         "sf": SF_DIR,
         "scaling": scaling,
     }))
