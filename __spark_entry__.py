@@ -404,6 +404,21 @@ def _q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         wp.where(did % 3 != 0), wp.where(did % 2 == 0), "url", k=128)
 
 
+#: per-language keep rates for the stratified-sampling entry
+_STRAT_RATES = {"en": 0.5, "de": 1.0, "fr": 0.25}
+
+
+def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified downsampling — the corpus-rebalancing
+    op (halve English, keep German whole, quarter French, drop the
+    rest): consistent-hash u(doc_id) vs a per-language CASE rate, pure
+    codegen, sample value-exact in DuckDB."""
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("key"), "lang")
+    return sketches.rate_sample_by(
+        docs, "key", ["lang"], _STRAT_RATES, default_rate=0.1)
+
+
 def _q_kmv_set_ops_by_lang(spark: SparkSession,
                            sf_dir: str) -> DataFrame:
     """Per-LANGUAGE crawl overlap between two document snapshots
@@ -620,6 +635,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_url_set_ops": _q_kmv_set_ops,
         # per-language snapshot overlap (grouped theta sketches)
         "kmv_set_ops_by_lang": _q_kmv_set_ops_by_lang,
+        # deterministic stratified corpus rebalancing
+        "stratified_sample": _q_stratified_sample,
         # grouped rollup: one HLL per language in a single pass, next
         # to the exact per-group distinct count
         "hll_by_lang": _q_hll_by_lang,
@@ -907,6 +924,10 @@ def oracle_sql() -> dict[str, str]:
             "k", "v", ["lang"], 128, _SKETCH_QS,
             "(SELECT CAST(doc_id AS VARCHAR) AS k, "
             "CAST(length(text) AS DOUBLE) AS v, lang FROM documents)"),
+        "stratified_sample": sketches.duckdb_rate_sample_by_sql(
+            "key", ["lang"], _STRAT_RATES, 0.1,
+            "(SELECT CAST(doc_id AS VARCHAR) AS key, lang "
+            "FROM documents)", select="key, lang"),
         "kmv_set_ops_by_lang": sketches.duckdb_kmv_set_ops_by_sql(
             "key", ["lang"], 64,
             "(SELECT lang, CAST(doc_id AS VARCHAR) AS key "

@@ -2741,3 +2741,78 @@ def duckdb_kmv_set_ops_by_sql(col: str, by, k: int, source_a: str,
         LEFT JOIN ea USING ({bnames})
         LEFT JOIN eb USING ({bnames})
     """
+
+
+# ===========================================================================
+# deterministic rate sampling (uniform + stratified-by-group)
+# ===========================================================================
+
+def rate_sample(df: DataFrame, key_col: str, rate: float,
+                hash_scheme: str = "hash60") -> DataFrame:
+    """Keep rows whose key's deterministic uniform u(key) =
+    hash60(key)/2^60 falls below ``rate`` — a consistent uniform
+    sample: stable across runs/hosts, NESTED (the rate-p sample is a
+    subset of every rate-p' >= p sample — the property that lets a
+    pipeline dial a corpus down without resampling churn), and exactly
+    reproducible in DuckDB. Pure codegen filter: pushes to the scan,
+    no shuffle, no RNG. All columns pass through; NULL keys excluded."""
+    if not (0.0 <= rate <= 1.0):
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    h = sketch_hash(key_col, hash_scheme)
+    cut = int(rate * (1 << HASH_BITS))
+    return df.where(F.col(key_col).isNotNull() & (F.expr(h) < F.lit(cut)))
+
+
+def rate_sample_by(df: DataFrame, key_col: str, by, rates: dict,
+                   default_rate: float = 0.0,
+                   hash_scheme: str = "hash60") -> DataFrame:
+    """Stratified deterministic sampling: per-group keep rates — the
+    corpus-rebalancing op (downsample dominant languages, keep the
+    tail whole). ``rates`` maps a group value (single ``by`` column)
+    or a chr(31)-joined group-value string (multi-column ``by``) to a
+    rate; unlisted groups get ``default_rate``. The same consistent-
+    hash u(key) serves every group, so per-group samples stay nested
+    under rate changes. Pure codegen (CASE over the group columns +
+    one hash compare); NULL group keys excluded."""
+    by = _norm_by(by)
+    if not by:
+        raise ValueError("by must name at least one grouping column")
+    for r in list(rates.values()) + [default_rate]:
+        if not (0.0 <= r <= 1.0):
+            raise ValueError(f"rate must be in [0, 1], got {r}")
+    h = sketch_hash(key_col, hash_scheme)
+
+    def esc(v) -> str:
+        return "'" + str(v).replace("'", "''") + "'"
+
+    key_expr = (f"CAST({by[0]} AS STRING)" if len(by) == 1 else
+                "concat_ws(chr(31), " +
+                ", ".join(f"CAST({c} AS STRING)" for c in by) + ")")
+    whens = " ".join(
+        f"WHEN {esc(g)} THEN CAST({int(r * (1 << HASH_BITS))} AS BIGINT)"
+        for g, r in sorted(rates.items(), key=lambda kv: str(kv[0])))
+    cut = (f"CASE {key_expr} {whens} ELSE "
+           f"CAST({int(default_rate * (1 << HASH_BITS))} AS BIGINT) END")
+    pred = F.col(key_col).isNotNull()
+    for c in by:
+        pred = pred & F.col(c).isNotNull()
+    return df.where(pred & (F.expr(h) < F.expr(cut)))
+
+
+def duckdb_rate_sample_by_sql(key_col: str, by, rates: dict,
+                              default_rate: float, source: str,
+                              select: str = "*") -> str:
+    """Oracle twin of ``rate_sample_by`` (single-column ``by``)."""
+    from .textops import duckdb_hash60
+
+    by = _norm_by(by)
+    h = duckdb_hash60(key_col)
+    whens = " ".join(
+        f"WHEN '{g}' THEN CAST({int(r * (1 << HASH_BITS))} AS BIGINT)"
+        for g, r in sorted(rates.items(), key=lambda kv: str(kv[0])))
+    cut = (f"CASE CAST({by[0]} AS VARCHAR) {whens} ELSE "
+           f"CAST({int(default_rate * (1 << HASH_BITS))} AS BIGINT) END")
+    notnull = " AND ".join([f"{key_col} IS NOT NULL"]
+                           + [f"{c} IS NOT NULL" for c in by])
+    return (f"SELECT {select} FROM {source} "
+            f"WHERE {notnull} AND {h} < {cut}")

@@ -119,6 +119,46 @@ def test_countmin_merge_equals_rebuild(spark):
     assert merged == direct
 
 
+def test_rate_sample_nested_and_deterministic(spark):
+    """The rate-p sample is a subset of every rate-p' >= p sample
+    (consistent hashing), repeats are identical, and the rate is
+    honoured within binomial noise."""
+    df = spark.range(20000).selectExpr("concat('k', id) AS key")
+    s25 = {r.key for r in sketches.rate_sample(df, "key", 0.25).collect()}
+    s50 = {r.key for r in sketches.rate_sample(df, "key", 0.50).collect()}
+    s25b = {r.key for r in sketches.rate_sample(df, "key", 0.25).collect()}
+    assert s25 == s25b
+    assert s25 <= s50
+    assert abs(len(s25) / 20000 - 0.25) < 0.02
+    assert abs(len(s50) / 20000 - 0.50) < 0.02
+    assert len({r.key for r in
+                sketches.rate_sample(df, "key", 0.0).collect()}) == 0
+    assert len({r.key for r in
+                sketches.rate_sample(df, "key", 1.0).collect()}) == 20000
+
+
+def test_rate_sample_by_stratified(spark):
+    df = spark.range(30000).selectExpr(
+        "concat('k', id) AS key",
+        "CASE pmod(id, 4) WHEN 0 THEN 'en' WHEN 1 THEN 'de' "
+        "WHEN 2 THEN 'fr' ELSE NULL END AS lang")
+    out = sketches.rate_sample_by(
+        df, "key", ["lang"], {"en": 0.5, "de": 1.0}, default_rate=0.1)
+    counts = {r.lang: r.c for r in
+              out.groupBy("lang").agg(F.count(F.lit(1)).alias("c"))
+              .collect()}
+    assert None not in counts  # NULL groups excluded
+    assert abs(counts["en"] / 7500 - 0.5) < 0.05
+    assert counts["de"] == 7500  # rate 1.0 keeps the group whole
+    assert abs(counts["fr"] / 7500 - 0.1) < 0.05
+    # per-group sample uses the same u(key): the en sample at 0.5 is
+    # the global 0.5 sample restricted to en rows
+    glob = {r.key for r in sketches.rate_sample(df, "key", 0.5).collect()}
+    en = {r.key for r in out.where("lang = 'en'").collect()}
+    assert en == {k for k in glob
+                  if int(k[1:]) % 4 == 0}
+
+
 def test_kmv_by_merge_equals_rebuild_and_absent_side(spark):
     """Grouped KMV: per-group merge == rebuild exactly; a group present
     on only one side reports the other side's estimate as 0 and
