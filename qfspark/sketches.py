@@ -2773,7 +2773,11 @@ def rate_sample_by(df: DataFrame, key_col: str, by, rates: dict,
     rate; unlisted groups get ``default_rate``. The same consistent-
     hash u(key) serves every group, so per-group samples stay nested
     under rate changes. Pure codegen (CASE over the group columns +
-    one hash compare); NULL group keys excluded."""
+    one hash compare); NULL group keys excluded. Scale note: the CASE
+    grows with |rates| — fine for the usual dozens of strata
+    (languages, sources); for thousands of strata prefer broadcasting
+    a (group, rate) DataFrame and joining, which keeps the predicate
+    size constant (same semantics, one broadcast join)."""
     by = _norm_by(by)
     if not by:
         raise ValueError("by must name at least one grouping column")

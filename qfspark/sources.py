@@ -138,16 +138,20 @@ def approx_row_count(df: DataFrame, sample_files: int = 64) -> int:
 
 def _plan_expands_rows(df: DataFrame) -> bool:
     """True when the optimized logical plan contains a node that can
-    emit MORE rows than its inputs (``Generate`` — explode/posexplode/
-    inline — or any ``Join``): leaf-file footer row counts are then a
-    potentially unbounded UNDERESTIMATE of the result cardinality.
-    Filters/limits (fewer rows) are fine — they make footers an
-    overestimate, which callers already document as the safe
-    direction. Unreadable plans report True (can't prove linearity →
-    don't trust footers)."""
+    emit MORE rows than its inputs — ``Generate`` (explode/posexplode/
+    inline), any ``Join``, ``Expand`` (cube/rollup/grouping sets), or
+    an arbitrary-arity Python stage (``MapInPandas`` /
+    ``FlatMapGroupsInPandas`` / ``FlatMapCoGroupsInPandas``): leaf-file
+    footer row counts are then a potentially unbounded UNDERESTIMATE
+    of the result cardinality. Filters/limits (fewer rows) are fine —
+    they make footers an overestimate, which callers already document
+    as the safe direction. Unreadable plans report True (can't prove
+    linearity → don't trust footers)."""
     try:
         plan = df._jdf.queryExecution().optimizedPlan().toString()
     except Exception:
         return True
-    return bool(re.search(r"^\s*(?:[+:]-\s*)?(?:Generate |\w*Join\b)",
-                          plan, re.MULTILINE))
+    return bool(re.search(
+        r"^\s*(?:[+:]-\s*)?(?:Generate |\w*Join\b|Expand\b"
+        r"|MapInPandas|FlatMap\w*)",
+        plan, re.MULTILINE))

@@ -38,6 +38,19 @@ def test_plan_expansion_detector(spark, arr_parquet):
     j = arr_parquet.alias("a").join(
         arr_parquet.alias("b"), F.col("a.id") == F.col("b.id"))
     assert _plan_expands_rows(j)
+    # Expand (rollup/cube) and arbitrary-arity Python stages also
+    # emit more rows than the base files
+    cube = (arr_parquet.withColumn("g", F.col("id") % 3)
+            .rollup("g").count())
+    assert _plan_expands_rows(cube)
+
+    def _dup(batches):
+        import pandas as pd
+        for b in batches:
+            yield pd.concat([b[["id"]], b[["id"]]])
+
+    mp = arr_parquet.mapInPandas(_dup, "id long")
+    assert _plan_expands_rows(mp)
 
 
 def test_approx_row_count_explode_not_underestimated(spark, arr_parquet):
