@@ -227,6 +227,24 @@ def cmd_sketch(args) -> int:
             print(f"# priority sample, k={args.k}: sum(est) over any "
                   "subset of printed keys is an unbiased estimate of "
                   "that subset's true weight sum")
+        elif args.what == "ratesample":
+            if by:
+                rates = {}
+                for kv in (args.rates or "").split(","):
+                    if kv:
+                        g, r = kv.split("=")
+                        rates[g] = float(r)
+                out = sketches.rate_sample_by(
+                    df, col, by, rates, default_rate=args.rate)
+            else:
+                out = sketches.rate_sample(df, col, args.rate)
+            n_in = df.count()
+            n_out = out.count()
+            for r in out.limit(20).collect():
+                print("\t".join(str(r[c]) for c in out.columns))
+            print(f"# kept {n_out}/{n_in} rows "
+                  f"(deterministic consistent-hash sample; nested "
+                  f"under rate changes)")
         elif args.what == "setops":
             if not args.input_b:
                 raise SystemExit("setops requires --input-b")
@@ -317,7 +335,7 @@ def main(argv=None) -> int:
         "sketch", help="approximate aggregates over text lines or parquet")
     sk.add_argument("what",
                     choices=["distinct", "topk", "quantiles", "f2",
-                             "setops", "sample"])
+                             "setops", "sample", "ratesample"])
     sk.add_argument("--input", required=True)
     sk.add_argument("--input-b", default=None,
                     help="second key set for setops (KMV jaccard/"
@@ -331,6 +349,12 @@ def main(argv=None) -> int:
     sk.add_argument("--weight-column", default=None,
                     help="weight column for 'sample' (priority "
                          "sampling: unbiased subset-sum estimates)")
+    sk.add_argument("--rate", type=float, default=0.1,
+                    help="keep rate for 'ratesample' (also the "
+                         "default rate for groups absent from --rates)")
+    sk.add_argument("--rates", default=None,
+                    help="per-group rates for 'ratesample --by g': "
+                         "'en=0.5,de=1.0' (unlisted groups get --rate)")
     sk.add_argument("--master", default="local[*]")
     sk.add_argument("--p", type=int, default=12, help="HLL precision")
     sk.add_argument("--k", type=int, default=20,

@@ -272,6 +272,32 @@ def test_cli_sketch_quantiles_grouped(tmp_path, spark, capsys):
     assert "grouped KLL" in out
 
 
+def test_cli_sketch_ratesample(tmp_path, spark, capsys):
+    """`sketch ratesample`: deterministic uniform + stratified keep."""
+    import pandas as pd
+
+    from qfspark.cli import main
+
+    pq = str(tmp_path / "rs.parquet")
+    pd.DataFrame({
+        "g": ["en"] * 2000 + ["de"] * 1000,
+        "key": [f"k{i}" for i in range(3000)],
+    }).to_parquet(pq)
+    assert main(["sketch", "ratesample", "--input", pq,
+                 "--column", "key", "--rate", "0.5"]) == 0
+    out = capsys.readouterr().out
+    kept = int(out.split("# kept ")[1].split("/")[0])
+    assert abs(kept / 3000 - 0.5) < 0.05
+
+    assert main(["sketch", "ratesample", "--input", pq,
+                 "--column", "key", "--by", "g",
+                 "--rates", "de=1.0", "--rate", "0.25"]) == 0
+    out = capsys.readouterr().out
+    kept = int(out.split("# kept ")[1].split("/")[0])
+    # de kept whole (1000) + ~25% of en (~500)
+    assert abs(kept - 1500) < 100
+
+
 def test_cli_sketch_setops(tmp_path, spark, capsys):
     a = tmp_path / "a.txt"
     b = tmp_path / "b.txt"
