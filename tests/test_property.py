@@ -100,3 +100,29 @@ def test_serde_roundtrip(hashes, counter_bits, packed):
     cfg = QFConfig(counter_bits=counter_bits, bit_packed=packed)
     qf = QF.from_hashes(hv, None, cfg)
     assert qf_from_bytes(qf_to_bytes(qf)) == qf
+
+
+@_SETTINGS
+@given(hashes=hash_lists, q_bits=q_bits_st, counter_bits=counter_bits_st,
+       packed=packed_st, split=st.integers(0, 300),
+       add=st.booleans(), value=st.integers(0, 40))
+def test_batched_insert_equals_sequential(hashes, q_bits, counter_bits,
+                                          packed, split, add, value):
+    """The round-5 block-ripple batch insert must be byte- and
+    flag-identical to the sequential per-element insert for arbitrary
+    hash multisets in a tiny quotient space (forcing runs, clusters,
+    wraparound windows, duplicate keys, and demotion collisions) —
+    over a pre-populated state, growth included."""
+    hv = _clustered(hashes, q_bits)
+    k = min(split, len(hv))
+    state, batch = hv[:k], hv[k:]
+    cfg = QFConfig(counter_bits=counter_bits, bit_packed=packed)
+    qa = QF.from_hashes(state, None, cfg)
+    qb = QF.from_hashes(state, None, cfg)
+    fa = qa.insert_hashes(batch, value=value, add=add)
+    fb = np.zeros(len(batch), dtype=bool)
+    for i in np.argsort(batch, kind="stable").tolist():
+        fb[i] = qb.insert_hash(int(batch[i]), value, add=add)
+    assert qa.q_bits == qb.q_bits
+    assert qf_to_bytes(qa) == qf_to_bytes(qb)
+    assert np.array_equal(fa, fb)
