@@ -565,12 +565,20 @@ def countmin_merge_by(by, *tables: DataFrame) -> DataFrame:
 
 def countmin_query_by(cm_df: DataFrame, probes: DataFrame, col: str,
                       by, depth: int = 4, width: int = 1024,
-                      hash_scheme: str = "hash60") -> DataFrame:
+                      hash_scheme: str = "hash60",
+                      broadcast: bool = True) -> DataFrame:
     """Per-group point-frequency estimates: min over the group's own
     depth rows. ``probes`` carries the group columns; each (group,
     key) probe reads only that group's table, so the per-group
     guarantee is the standard one with N = the GROUP's total count —
-    much tighter than a global table for skewed group sizes."""
+    much tighter than a global table for skewed group sizes.
+
+    ``broadcast=True`` (default) ships the counter tables to every
+    probe task — right while groups x depth x width rows fit a
+    broadcast (<= a few hundred groups at the default geometry). For
+    thousands of groups pass ``broadcast=False``: the join shuffles
+    on (group, row, col_idx) instead, and neither side is
+    materialized whole anywhere."""
     by = _norm_by(by)
     h = sketch_hash(f"concat(i, ':', {col})", hash_scheme)
     pred = F.col(col).isNotNull()
@@ -590,8 +598,9 @@ def countmin_query_by(cm_df: DataFrame, probes: DataFrame, col: str,
             F.expr(f"CAST(pmod({h}, {width}) AS INT)").alias("col_idx"),
         )
     )
+    cm_side = F.broadcast(cm_df) if broadcast else cm_df
     return (
-        exploded.join(F.broadcast(cm_df), by + ["row", "col_idx"], "left")
+        exploded.join(cm_side, by + ["row", "col_idx"], "left")
         .groupBy(*by, col)
         .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("cm_count"))
     )
@@ -2763,7 +2772,7 @@ def rate_sample(df: DataFrame, key_col: str, rate: float,
     return df.where(F.col(key_col).isNotNull() & (F.expr(h) < F.lit(cut)))
 
 
-def rate_sample_by(df: DataFrame, key_col: str, by, rates: dict,
+def rate_sample_by(df: DataFrame, key_col: str, by, rates,
                    default_rate: float = 0.0,
                    hash_scheme: str = "hash60") -> DataFrame:
     """Stratified deterministic sampling: per-group keep rates — the
@@ -2772,15 +2781,41 @@ def rate_sample_by(df: DataFrame, key_col: str, by, rates: dict,
     or a chr(31)-joined group-value string (multi-column ``by``) to a
     rate; unlisted groups get ``default_rate``. The same consistent-
     hash u(key) serves every group, so per-group samples stay nested
-    under rate changes. Pure codegen (CASE over the group columns +
-    one hash compare); NULL group keys excluded. Scale note: the CASE
-    grows with |rates| — fine for the usual dozens of strata
-    (languages, sources); for thousands of strata prefer broadcasting
-    a (group, rate) DataFrame and joining, which keeps the predicate
-    size constant (same semantics, one broadcast join)."""
+    under rate changes. NULL group keys excluded.
+
+    Two physical shapes, same semantics:
+    * dict ``rates`` — pure codegen (CASE over the group columns +
+      one hash compare); right for the usual dozens of strata.
+    * DataFrame ``rates`` (columns: the ``by`` columns as strings +
+      ``rate`` double) — broadcast join + hash compare; predicate
+      size constant however many strata (thousands of domains), and
+      the rate table can itself be computed in-pipeline (e.g. target
+      counts / observed counts)."""
     by = _norm_by(by)
     if not by:
         raise ValueError("by must name at least one grouping column")
+    if isinstance(rates, DataFrame):
+        if "rate" not in rates.columns:
+            raise ValueError("rates DataFrame needs a 'rate' column")
+        h = sketch_hash(key_col, hash_scheme)
+        pred = F.col(key_col).isNotNull()
+        for c in by:
+            pred = pred & F.col(c).isNotNull()
+        rt = rates.select(
+            *[F.col(c).cast("string").alias(c) for c in by],
+            F.col("rate").cast("double").alias("_rate"))
+        joined = (
+            df.where(pred)
+            .withColumn("_cut", F.expr(h))
+            .join(F.broadcast(rt), by, "left")
+            .withColumn("_rate", F.coalesce(
+                F.col("_rate"), F.lit(float(default_rate))))
+        )
+        out = joined.where(
+            F.col("_cut") < (F.col("_rate")
+                             * F.lit(float(1 << HASH_BITS)))
+            .cast("bigint")).drop("_cut", "_rate")
+        return out
     for r in list(rates.values()) + [default_rate]:
         if not (0.0 <= r <= 1.0):
             raise ValueError(f"rate must be in [0, 1], got {r}")

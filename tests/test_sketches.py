@@ -159,6 +159,38 @@ def test_rate_sample_by_stratified(spark):
                   if int(k[1:]) % 4 == 0}
 
 
+def test_rate_sample_by_dataframe_rates_matches_dict(spark):
+    """The broadcast-join rates path (DataFrame rates — the
+    thousands-of-strata shape) must select EXACTLY the same rows as
+    the CASE path for the same rate map, including the default rate
+    for unlisted groups."""
+    df = spark.range(12000).selectExpr(
+        "concat('k', id) AS key",
+        "CASE pmod(id, 3) WHEN 0 THEN 'en' WHEN 1 THEN 'de' "
+        "ELSE 'fr' END AS lang")
+    rmap = {"en": 0.4, "de": 0.9}
+    via_dict = {r.key for r in sketches.rate_sample_by(
+        df, "key", ["lang"], rmap, default_rate=0.15).collect()}
+    rates_df = spark.createDataFrame(
+        [("en", 0.4), ("de", 0.9)], "lang string, rate double")
+    via_df = {r.key for r in sketches.rate_sample_by(
+        df, "key", ["lang"], rates_df, default_rate=0.15).collect()}
+    assert via_dict == via_df
+    assert len(via_dict) > 0
+
+
+def test_countmin_query_by_shuffle_join_matches_broadcast(spark):
+    df = spark.range(2000).selectExpr(
+        "CASE pmod(id, 2) WHEN 0 THEN 'a' ELSE 'b' END AS g",
+        "concat('k', pmod(id, 53)) AS key")
+    cm = sketches.countmin_table_by(df, "key", ["g"], 3, 128)
+    bc = sorted(map(tuple, sketches.countmin_query_by(
+        cm, df, "key", ["g"], 3, 128).collect()))
+    sh = sorted(map(tuple, sketches.countmin_query_by(
+        cm, df, "key", ["g"], 3, 128, broadcast=False).collect()))
+    assert bc == sh
+
+
 def test_kmv_by_merge_equals_rebuild_and_absent_side(spark):
     """Grouped KMV: per-group merge == rebuild exactly; a group present
     on only one side reports the other side's estimate as 0 and
