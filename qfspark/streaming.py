@@ -519,6 +519,54 @@ def windowed_distinct_counts(
     )
 
 
+def windowed_quantiles(
+    stream_df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    qs: list[float],
+    window: str = "10 minutes",
+    watermark: str = "30 minutes",
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Approximate quantiles per event-time window (e.g. per-10-minute
+    fetch-latency p50/p99): Spark's own ``percentile_approx``
+    aggregate under a watermark — a NATIVE windowed streaming
+    aggregation, fully JVM-side (Catalyst's ApproximatePercentile
+    sketch lives in the state store per open window; closed windows
+    evict on watermark advance). Returns (window_start, window_end,
+    q, est) rows in append mode; closed-window rows are row-identical
+    to the same ``percentile_approx`` run in batch over the window's
+    data (the aggregate is deterministic at a fixed ``accuracy``;
+    tested). ``accuracy`` trades state size for rank error — the
+    published bound is 1/accuracy. NULL values excluded.
+
+    This is the third member of the native windowed family
+    (``windowed_key_counts``, ``windowed_distinct_counts``); for
+    per-GROUP rather than per-window quantiles over a stream, the
+    ``kll``/``kll_by`` ``stream_sketch`` kinds hold the compactor
+    state instead."""
+    qs_arr = "array(" + ", ".join(
+        f"CAST({float(q)!r} AS DOUBLE)" for q in qs) + ")"
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .where(F.col(value_col).isNotNull())
+        .select(F.window(F.col(ts_col), window).alias("w"),
+                F.col(value_col).cast("double").alias("_v"))
+        .groupBy("w")
+        .agg(F.expr(f"percentile_approx(_v, {qs_arr}, {accuracy})")
+             .alias("_ests"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            F.explode(F.arrays_zip(
+                F.expr(qs_arr).alias("q"),
+                F.col("_ests").alias("est"))).alias("_z"),
+        )
+        .select("window_start", "window_end",
+                F.col("_z.q").alias("q"), F.col("_z.est").alias("est"))
+    )
+
+
 def windowed_key_counts(
     stream_df: DataFrame,
     ts_col: str,

@@ -140,6 +140,70 @@ def test_windowed_distinct_counts_matches_batch(spark):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def test_windowed_quantiles_matches_batch(spark):
+    """Per-window percentile_approx as a native windowed streaming
+    agg: closed-window rows row-identical to the same aggregate run in
+    batch over the window's data, and within the 1/accuracy rank
+    bound of the exact per-window quantiles."""
+    import os
+
+    from qfspark.streaming import windowed_quantiles
+
+    tmp = tempfile.mkdtemp(prefix="qfwq_")
+    src = f"{tmp}/src"
+    qs = [0.1, 0.5, 0.9]
+    try:
+        ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+            "ts", (F.col("user_id") % 997).cast("double").alias("v"))
+        os.makedirs(src, exist_ok=True)
+        ev.toPandas().to_parquet(
+            f"{src}/all.parquet", coerce_timestamps="us",
+            allow_truncated_timestamps=True)
+        stream = spark.readStream.schema(
+            "ts timestamp, v double").parquet(src)
+        out = windowed_quantiles(stream, "ts", "v", qs,
+                                 window="1 hour", watermark="1 minute")
+        q = (out.writeStream.format("memory").queryName("win_q")
+             .outputMode("append")
+             .option("checkpointLocation", f"{tmp}/ckpt")
+             .trigger(availableNow=True).start())
+        q.awaitTermination(240)
+        got = {(r.window_start, r.q): r.est
+               for r in spark.sql("SELECT * FROM win_q").collect()}
+        assert got, "no windows emitted"
+
+        qs_arr = "array(" + ", ".join(repr(float(x)) for x in qs) + ")"
+        batch = (ev.select(F.window("ts", "1 hour").alias("w"), "v")
+                 .groupBy("w")
+                 .agg(F.expr(f"percentile_approx(v, {qs_arr}, 10000)")
+                      .alias("ests")))
+        want = {}
+        exact_vals = {}
+        for r in batch.collect():
+            for x, e in zip(qs, r.ests):
+                want[(r.w.start, x)] = e
+        # the final window(s) stay open (no later event advances the
+        # watermark past them) — closed windows must match exactly
+        assert set(got) <= set(want)
+        assert len(got) >= len(want) - len(qs) * 2
+        for k in got:
+            assert got[k] == want[k], k  # row-identical to batch
+
+        # rank-error sanity on one window per q
+        for r in (ev.select(F.window("ts", "1 hour").alias("w"), "v")
+                  .collect()):
+            exact_vals.setdefault(r.w.start, []).append(r.v)
+        import bisect
+        for (ws, x), e in got.items():
+            vals = sorted(exact_vals[ws])
+            lo = bisect.bisect_left(vals, e) / len(vals)
+            hi = bisect.bisect_right(vals, e) / len(vals)
+            err = max(0.0, lo - x, x - hi)
+            assert err <= 0.01 + 1.0 / len(vals), (ws, x, err)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def test_stateful_streaming_dedup(spark):
     """applyInPandasWithState dedup with sketch state: across micro-batches
     every key is emitted exactly once, on first occurrence."""
