@@ -1206,10 +1206,48 @@ class TDigest:
     # -- construction ------------------------------------------------------
     @classmethod
     def from_values(cls, values, compression: int = 100) -> "TDigest":
+        """Build from raw values — fully vectorized: one numpy sort +
+        cumsum, then a greedy cut loop that iterates over CENTROIDS
+        (O(compression) iterations, each a searchsorted), never over
+        values. Same greedy k-size rule as the pair-stream compressor,
+        so the rank-error bound is identical; deterministic (no RNG)."""
+        import numpy as np
+
         d = cls(compression)
-        pairs = sorted((float(v), 1.0) for v in values)
-        d._set_compressed(pairs)
+        arr = (values.astype("float64", copy=False)
+               if isinstance(values, np.ndarray)
+               else np.fromiter((float(v) for v in values),
+                                dtype="float64"))
+        if arr.size:
+            d._set_sorted_units(np.sort(arr))
         return d
+
+    def _set_sorted_units(self, sv) -> None:
+        """Compress a SORTED unit-weight value array into centroids.
+        Equivalent to ``_set_compressed`` on [(v, 1.0)] pairs: the
+        greedy inclusion condition k(cum_end/n) - k(q0) <= 1 depends
+        only on the cumulative count, so each centroid's end index is
+        one searchsorted into the precomputed k(q) curve."""
+        import numpy as np
+
+        n = int(sv.size)
+        self.means, self.weights = [], []
+        if n == 0:
+            return
+        c = float(self.compression)
+        q = np.arange(1, n + 1, dtype="float64") / n
+        kq = c / (2.0 * math.pi) * np.arcsin(
+            np.clip(2.0 * q - 1.0, -1.0, 1.0))
+        cv = np.concatenate(([0.0], np.cumsum(sv)))
+        start = 0
+        k0 = self._k(0.0)
+        while start < n:
+            end = int(np.searchsorted(kq, k0 + 1.0, side="right"))
+            end = max(end, start + 1)
+            self.means.append(float((cv[end] - cv[start]) / (end - start)))
+            self.weights.append(float(end - start))
+            start = end
+            k0 = float(kq[end - 1])
 
     def _set_compressed(self, pairs) -> None:
         """Compress a mean-sorted (mean, weight) stream into centroids
@@ -1292,11 +1330,17 @@ def tdigest_build(df: DataFrame, value_col: str,
     comp = compression
 
     def _partial(batches):
-        vals: list[float] = []
+        import numpy as np
+
+        # numpy chunk concatenation (8 B/value, one contiguous buffer)
+        # feeding the batch from_values — no per-value Python list
+        chunks = []
         for b in batches:
-            vals.extend(float(x) for x in b[value_col].dropna())
-        if vals:
-            d = TDigest.from_values(vals, comp)
+            a = b[value_col].dropna().to_numpy(dtype="float64")
+            if a.size:
+                chunks.append(a)
+        if chunks:
+            d = TDigest.from_values(np.concatenate(chunks), comp)
             yield pd.DataFrame({"mean": d.means, "weight": d.weights})
 
     partials = df.select(value_col).mapInPandas(
@@ -1351,7 +1395,15 @@ class KLLSketch:
         self.extend([value])
 
     def extend(self, values) -> None:
-        vals = [float(v) for v in values]
+        import numpy as np
+
+        # ndarray fast path: astype+tolist is a C-speed conversion —
+        # the previous per-value float() genexpr was the last
+        # row-at-a-time Python on the sketch ingestion path
+        if isinstance(values, np.ndarray):
+            vals = values.astype("float64", copy=False).tolist()
+        else:
+            vals = [float(v) for v in values]
         self.levels[0].extend(vals)
         self.n += len(vals)
         self._compress()
@@ -1428,7 +1480,7 @@ def kll_partials(df: DataFrame, value_col: str, k: int = 256) -> DataFrame:
     def _partial(batches):
         sk = KLLSketch(kk)
         for b in batches:
-            sk.extend(float(x) for x in b[value_col].dropna())
+            sk.extend(b[value_col].dropna().to_numpy(dtype="float64"))
         rows = [(h, v) for h, buf in enumerate(sk.levels) for v in buf]
         if rows:
             yield pd.DataFrame(
@@ -1649,6 +1701,158 @@ def kll_compact_partials_by(df: DataFrame, by, k: int = 256) -> DataFrame:
     return df.groupBy(*by).applyInPandas(_compact, schema)
 
 
+# ---------------------------------------------------------------------------
+# grouped t-digest (per-group quantiles, k1-scale tail resolution)
+# ---------------------------------------------------------------------------
+#
+# The t-digest twin of the grouped-KLL family: same two-stage shape —
+# one mapInPandas data pass emitting (by..., mean, weight) centroid
+# rows (<= O(compression) rows per group per partition), then a
+# group-keyed applyInPandas merge over that TINY partial table. Per
+# partition, each group's values accumulate as numpy chunks and flush
+# into a running digest every _TD_FLUSH values, so partial-state memory
+# is O(groups-in-partition * (compression + _TD_FLUSH)) regardless of
+# partition size. No data value ever reaches the driver.
+
+_TD_FLUSH = 1 << 18  # values buffered per group before folding into
+#                      the running digest (256k * 8 B = 2 MB per group)
+
+
+def tdigest_partials_by(df: DataFrame, value_col: str, by,
+                        compression: int = 100) -> DataFrame:
+    """Per-partition grouped t-digest centroid rows (by..., mean,
+    weight). Group columns are cast to string; rows with a NULL group
+    key or NULL value are excluded (same contract as the other grouped
+    sketches)."""
+    by = _norm_by(by)
+
+    import pandas as pd
+
+    comp = compression
+
+    def _partial(batches):
+        import numpy as np
+
+        digs: dict[tuple, TDigest | None] = {}
+        bufs: dict[tuple, list] = {}
+        sizes: dict[tuple, int] = {}
+
+        def _flush(kt):
+            arrs = bufs.get(kt)
+            if not arrs:
+                return
+            d = TDigest.from_values(np.concatenate(arrs), comp)
+            prev = digs.get(kt)
+            digs[kt] = d if prev is None else prev.merge(d)
+            bufs[kt] = []
+            sizes[kt] = 0
+
+        for b in batches:
+            for key, grp in b.groupby(by, sort=False):
+                kt = key if isinstance(key, tuple) else (key,)
+                a = grp["_v"].to_numpy(dtype="float64")
+                if not a.size:
+                    continue
+                bufs.setdefault(kt, []).append(a)
+                sizes[kt] = sizes.get(kt, 0) + a.size
+                digs.setdefault(kt, None)
+                if sizes[kt] >= _TD_FLUSH:
+                    _flush(kt)
+        for kt in list(digs):
+            _flush(kt)
+            d = digs[kt]
+            if d is None or not d.means:
+                continue
+            out = pd.DataFrame({"mean": d.means, "weight": d.weights})
+            for c, kv in zip(by, kt):
+                out[c] = kv
+            yield out[by + ["mean", "weight"]]
+
+    schema = ", ".join(f"`{c}` string" for c in by) \
+        + ", mean double, weight double"
+    pred = F.col(value_col).isNotNull()
+    for c in by:
+        pred = pred & F.col(c).isNotNull()
+    sel = [F.col(c).cast("string").alias(c) for c in by]
+    sel.append(F.col(value_col).cast("double").alias("_v"))
+    return df.where(pred).select(*sel).mapInPandas(_partial, schema)
+
+
+def tdigest_build_by(df: DataFrame, value_col: str, by,
+                     compression: int = 100) -> dict[tuple, TDigest]:
+    """Driver-side dict {group-tuple: TDigest} — the grouped twin of
+    ``tdigest_build`` for callers that want the digest OBJECTS. Driver
+    work/memory is O(groups * compression); for the read-off-the-
+    quantiles path use the fully distributed ``tdigest_quantiles_by``,
+    whose merge runs on executors."""
+    by = _norm_by(by)
+    rows = tdigest_partials_by(df, value_col, by, compression).collect()
+    acc: dict[tuple, list] = {}
+    for r in rows:
+        acc.setdefault(tuple(r[c] for c in by), []).append(
+            (r["mean"], r["weight"]))
+    return {g: TDigest.from_rows(pairs, compression)
+            for g, pairs in acc.items()}
+
+
+def tdigest_quantiles_by(df: DataFrame, value_col: str, by,
+                         qs: list[float],
+                         compression: int = 100) -> DataFrame:
+    """(by..., q, est) per-group t-digest quantile estimates, fully
+    distributed: one data pass for the centroid partials, one
+    group-keyed shuffle of the tiny partial table, per-group merge +
+    read-off inside applyInPandas (mirror of ``kll_quantiles_by``)."""
+    by = _norm_by(by)
+    qs_l = [float(q) for q in qs]
+    comp = compression
+
+    import pandas as pd
+
+    partials = tdigest_partials_by(df, value_col, by, compression)
+
+    def _merge(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        d = TDigest.from_rows(zip(pdf["mean"], pdf["weight"]), comp)
+        out = pd.DataFrame({"q": qs_l,
+                            "est": [d.quantile(q) for q in qs_l]})
+        for c in by:
+            out[c] = pdf[c].iloc[0]
+        return out[by + ["q", "est"]]
+
+    schema = ", ".join(f"`{c}` string" for c in by) \
+        + ", q double, est double"
+    return partials.groupBy(*by).applyInPandas(_merge, schema)
+
+
+def tdigest_merge_partials_by(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two grouped centroid-row tables built with the same
+    (by, compression): plain union — centroid streams concatenate, and
+    the next per-group merge's compression pass restores the k-size
+    invariant (t-digest merge IS concat-then-compress)."""
+    return a.unionByName(b)
+
+
+def tdigest_compact_partials_by(df: DataFrame, by,
+                                compression: int = 100) -> DataFrame:
+    """Per-group compaction of a grouped centroid-row table back to
+    <= O(compression) rows per group (the grouped twin of the merge
+    step; bounds state if partials accumulate across batches)."""
+    import pandas as pd
+
+    by = _norm_by(by)
+    comp = compression
+
+    def _compact(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        d = TDigest.from_rows(zip(pdf["mean"], pdf["weight"]), comp)
+        out = pd.DataFrame({"mean": d.means, "weight": d.weights})
+        for c in by:
+            out[c] = pdf[c].iloc[0]
+        return out[by + ["mean", "weight"]]
+
+    schema = ", ".join(f"`{c}` string" for c in by) \
+        + ", mean double, weight double"
+    return df.groupBy(*by).applyInPandas(_compact, schema)
+
+
 # ===========================================================================
 # bound-check queries (the oracle for the Python-kernel sketches)
 # ===========================================================================
@@ -1718,11 +1922,19 @@ def duckdb_quantile_bound_sql(qs: list[float]) -> str:
 
 def quantile_bound_check_by(df: DataFrame, value_col: str, by,
                             qs: list[float], k: int = 256,
-                            bound: float | None = None) -> DataFrame:
-    """(by..., q, ok) — the grouped twin of ``quantile_bound_check``
-    for the KLL sketch: per group, is the KLL quantile estimate within
-    the O(1/k) rank-error bound of that GROUP's exact quantile? Oracle:
-    ``duckdb_quantile_bound_by_sql`` — constant TRUE per (group, q).
+                            bound: float | None = None,
+                            kind: str = "kll",
+                            compression: int = 100) -> DataFrame:
+    """(by..., q, ok) — the grouped twin of ``quantile_bound_check``:
+    per group, is the sketch's quantile estimate within its documented
+    rank-error bound of that GROUP's exact quantile? ``kind`` selects
+    the quantile kernel: "kll" (O(1/k) per-group rank error) or
+    "tdigest" (k1-scale merging digest; default bound 8/compression —
+    the merged-path constant pinned by
+    tests/test_sketches.py::test_tdigest_merge_preserves_bound, since
+    the per-group estimate merges per-partition partial digests).
+    Oracle: ``duckdb_quantile_bound_by_sql`` — constant TRUE per
+    (group, q).
 
     Fully distributed: the per-(group, q) estimates (a tiny
     groups x |qs| table) broadcast-join back to the data, and the
@@ -1732,10 +1944,17 @@ def quantile_bound_check_by(df: DataFrame, value_col: str, by,
     from q to [rank_lt, rank_le]/n_g. No per-group sort, no value ever
     reaches the driver (same scale argument as the global checker)."""
     by = _norm_by(by)
-    if bound is None:
-        bound = 12.0 / k  # same property-tested constant as the
-        #                   global KLL gate (quantile_bound_check)
-    est = kll_quantiles_by(df, value_col, by, qs, k)
+    if kind == "kll":
+        if bound is None:
+            bound = 12.0 / k  # same property-tested constant as the
+            #                   global KLL gate (quantile_bound_check)
+        est = kll_quantiles_by(df, value_col, by, qs, k)
+    elif kind == "tdigest":
+        if bound is None:
+            bound = 8.0 / compression
+        est = tdigest_quantiles_by(df, value_col, by, qs, compression)
+    else:
+        raise ValueError(f"unknown sketch kind {kind!r}")
     pred = F.col(value_col).isNotNull()
     for c in by:
         pred = pred & F.col(c).isNotNull()
@@ -2329,6 +2548,56 @@ def _kmv_est(sketch: DataFrame, k: int, out: str) -> DataFrame:
     )
 
 
+#: registry of KMV set-ops sketch materializations. Strong references
+#: on purpose (a persist lives in the JVM CacheManager until an
+#: explicit unpersist; GC of the Python wrapper does NOT free it).
+#: BOUNDED: past ``_SKETCH_CACHE_CAP`` entries the oldest is
+#: auto-unpersisted (FIFO), so a long-lived session unaware of
+#: ``release_sketch_caches()`` cannot accumulate blocks without bound
+#: — the same contract as dedup's pair-cache registry. Eviction is
+#: SAFE here because KMV sketches are deterministic (hash-derived
+#: bottom-k): an evicted cache recomputes from lineage to the
+#: identical rows, it just pays the sketch pass again. (Misra-Gries
+#: partials deliberately do NOT use this registry: their result
+#: depends on the physical run, so they localCheckpoint — est/err
+#: must come from the SAME run.) Raise the cap for batch callers
+#: holding many concurrent set-ops results.
+_SKETCH_CACHES: list = []
+_SKETCH_CACHE_CAP = 24
+
+
+def _materialize_sketch(df: DataFrame) -> DataFrame:
+    """Eagerly persist + materialize a tiny sketch table and track it
+    in the bounded FIFO registry. 3 entries per kmv_set_ops[_by] call,
+    so the default cap keeps the last ~8 calls warm."""
+    df = df.persist()
+    df.count()
+    _SKETCH_CACHES.append(df)
+    while len(_SKETCH_CACHES) > _SKETCH_CACHE_CAP:
+        old = _SKETCH_CACHES.pop(0)
+        try:
+            old.unpersist(blocking=False)
+        except Exception:
+            pass
+    return df
+
+
+def release_sketch_caches() -> int:
+    """Unpersist every KMV set-ops sketch cache created since the last
+    release — deterministic lifetime for long-lived sessions. Always
+    safe: an unpersisted sketch recomputes from lineage to identical
+    rows. Returns the number of caches released."""
+    n = 0
+    for df in _SKETCH_CACHES:
+        try:
+            df.unpersist(blocking=False)
+            n += 1
+        except Exception:
+            pass
+    _SKETCH_CACHES.clear()
+    return n
+
+
 def kmv_set_ops(a_df: DataFrame, b_df: DataFrame, col: str,
                 k: int = 256, hash_scheme: str = "hash60") -> DataFrame:
     """One row (est_a, est_b, est_union, jaccard, est_intersection,
@@ -2343,10 +2612,13 @@ def kmv_set_ops(a_df: DataFrame, b_df: DataFrame, col: str,
     deterministic; DuckDB reproduces them bit-for-bit."""
     # materialize each k-row sketch once: every sketch feeds 3-4 plan
     # subtrees (estimate, merge, semi-joins) and must not re-run its
-    # full-data distinct + top-k per consumer
-    sa = kmv_sketch(a_df, col, k, hash_scheme).localCheckpoint(eager=True)
-    sb = kmv_sketch(b_df, col, k, hash_scheme).localCheckpoint(eager=True)
-    merged = kmv_merge(sa, sb, k).localCheckpoint(eager=True)
+    # full-data distinct + top-k per consumer. Registry-tracked eager
+    # persists (not localCheckpoints): bounded lifetime, and eviction
+    # recomputes deterministically from lineage instead of killing the
+    # plan
+    sa = _materialize_sketch(kmv_sketch(a_df, col, k, hash_scheme))
+    sb = _materialize_sketch(kmv_sketch(b_df, col, k, hash_scheme))
+    merged = _materialize_sketch(kmv_merge(sa, sb, k))
     match = (
         merged.join(sa, "h", "left_semi").join(sb, "h", "left_semi")
         .agg(F.count(F.lit(1)).alias("_m"))
@@ -2617,12 +2889,12 @@ def kmv_set_ops_by(a_df: DataFrame, b_df: DataFrame, col: str, by,
     (group, h))."""
     by = _norm_by(by)
     # materialize each (groups * k)-row sketch once: each feeds 3-4
-    # plan subtrees and must not re-run its distinct + rank per consumer
-    sa = kmv_sketch_by(a_df, col, by, k, hash_scheme).localCheckpoint(
-        eager=True)
-    sb = kmv_sketch_by(b_df, col, by, k, hash_scheme).localCheckpoint(
-        eager=True)
-    merged = kmv_merge_by(sa, sb, by, k).localCheckpoint(eager=True)
+    # plan subtrees and must not re-run its distinct + rank per
+    # consumer. Registry-tracked eager persists — bounded lifetime,
+    # eviction recomputes deterministically from lineage
+    sa = _materialize_sketch(kmv_sketch_by(a_df, col, by, k, hash_scheme))
+    sb = _materialize_sketch(kmv_sketch_by(b_df, col, by, k, hash_scheme))
+    merged = _materialize_sketch(kmv_merge_by(sa, sb, by, k))
     key = by + ["h"]
     match = (
         merged.join(sa, key, "left_semi").join(sb, key, "left_semi")

@@ -151,7 +151,12 @@ def _plan_expands_rows(df: DataFrame) -> bool:
         plan = df._jdf.queryExecution().optimizedPlan().toString()
     except Exception:
         return True
+    # the tree prefix before a node name is ANY mix of spaces, ':'
+    # (branch continuation, e.g. a Generate inside a Union leg), '+',
+    # '-' and '|' at ANY nesting depth — the previous one-level
+    # '[+:]- ' prefix missed expanding nodes nested under branch
+    # continuations and could wrongly bless footer counts
     return bool(re.search(
-        r"^\s*(?:[+:]-\s*)?(?:Generate |\w*Join\b|Expand\b"
+        r"^[\s:+|-]*(?:Generate |\w*Join\b|Expand\b"
         r"|MapInPandas|FlatMap\w*)",
         plan, re.MULTILINE))
