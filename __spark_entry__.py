@@ -295,23 +295,24 @@ def _q_bottomk_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_quantile_bounds(kind: str):
+    """(grp, q, ok) — one driver row covering BOTH quantile paths of a
+    sketch kind: the GLOBAL bound gate (grp = '_all'; tree-merged
+    partials) unioned with the per-language GROUPED gate (grp = lang;
+    mapInPandas partials + applyInPandas per-group merge). Collapsing
+    the global and grouped entries into one row per kind keeps every
+    operator family inside the driver's 50-query recording window
+    (round-5 verdict task #2). Oracle: constant TRUE per (grp, q)."""
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         base = _docs(spark, sf_dir).select(
-            F.length("text").cast("double").alias("v"))
-        return sketches.quantile_bound_check(
-            base, "v", _SKETCH_QS, kind=kind)
+            F.length("text").cast("double").alias("v"), "lang")
+        glob = sketches.quantile_bound_check(
+            base, "v", _SKETCH_QS, kind=kind
+        ).select(F.lit("_all").alias("grp"), "q", "ok")
+        grouped = sketches.quantile_bound_check_by(
+            base, "v", ["lang"], _SKETCH_QS, kind=kind
+        ).select(F.col("lang").alias("grp"), "q", "ok")
+        return glob.unionByName(grouped)
     return run
-
-
-def _q_quantiles_by_lang_kll(spark: SparkSession,
-                             sf_dir: str) -> DataFrame:
-    """Per-language doc-length quantile gate from a GROUPED KLL sketch:
-    O(1/k) rank error per group (vs quantiles_by_lang's ~1/sqrt(k)
-    bottom-k sample). Oracle: TRUE per (lang, q)."""
-    base = _docs(spark, sf_dir).select(
-        F.length("text").cast("double").alias("v"), "lang")
-    return sketches.quantile_bound_check_by(
-        base, "v", ["lang"], _SKETCH_QS, k=256)
 
 
 #: deterministic PII injection keyed by doc_id % 4 — identical CASE
@@ -369,25 +370,6 @@ def _q_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rel_err",
             F.round(F.abs(F.col("f2_estimate") - F.col("f2_exact"))
                     / F.col("f2_exact"), 6))
-        .withColumn("within_bound", F.col("rel_err") <= F.lit(bound))
-    )
-
-
-def _q_hll_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-language distinct-url rollup (one grouped-HLL pass) joined
-    with the exact per-language count — estimates bit-exact, plus the
-    3-sigma bound as a checked column."""
-    wp = synthesize(spark, sf_dir)
-    est = sketches.hll_cardinality_by(wp, "url", ["lang"], p=10)
-    exact = wp.groupBy("lang").agg(
-        F.countDistinct("url").cast("long").alias("exact_distinct"))
-    bound = sketches.hll_error_bound(10, sigmas=3.0)
-    return (
-        est.join(exact, "lang")
-        .withColumn(
-            "rel_err",
-            F.round(F.abs(F.col("estimate") - F.col("exact_distinct"))
-                    / F.col("exact_distinct"), 4))
         .withColumn("within_bound", F.col("rel_err") <= F.lit(bound))
     )
 
@@ -589,9 +571,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # REAL image decode (pure-stdlib BMP decoder + nearest-neighbor
         # resize), verified against closed-form arithmetic
         "media_image_decode": _q_media_image_decode,
-        "cosine_pairs": lambda s, d: similarity.cosine_pairs(
-            _emb(s, d), threshold=0.2
-        ),
+        # (cosine_pairs is subsumed by cosine_topk — both drive
+        # similarity's brute-force cosine kernel; dropped from the
+        # entry list to fit the driver's 50-query recording window,
+        # still pytest-covered in tests/test_ann.py)
         "cosine_topk": lambda s, d: similarity.cosine_topk(_emb(s, d), k=5),
         # approximate ANN, fully oracle-checked: the hyperplanes are
         # md5-derived and the fold order fixed, so DuckDB reproduces the
@@ -627,21 +610,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "countmin_by_lang": _q_countmin_by_lang,
         "bloom_url_membership": _q_bloom_url,
         "bottomk_quantiles": _q_bottomk_quantiles,
+        # each kind's row covers the global gate ('_all') AND the
+        # per-language grouped gate in one union (see _q_quantile_bounds)
         "tdigest_quantile_bounds": _q_quantile_bounds("tdigest"),
         "kll_quantile_bounds": _q_quantile_bounds("kll"),
-        # per-language KLL quantile gate (O(1/k) per-group rank error)
-        "quantiles_by_lang_kll": _q_quantiles_by_lang_kll,
         "hll_url_set_ops": _q_hll_set_ops,
         "kmv_url_set_ops": _q_kmv_set_ops,
         # per-language snapshot overlap (grouped theta sketches)
         "kmv_set_ops_by_lang": _q_kmv_set_ops_by_lang,
         # deterministic stratified corpus rebalancing
         "stratified_sample": _q_stratified_sample,
-        # grouped rollup: one HLL per language in a single pass, next
-        # to the exact per-group distinct count
-        "hll_by_lang": _q_hll_by_lang,
-        # event-time-bucketed distinct rollup: the batch twin of
-        # streaming.windowed_distinct_counts
+        # event-time-bucketed distinct rollup via the grouped-HLL pass
+        # (hll_cardinality_by — the same operator hll_by_lang drove;
+        # that near-duplicate entry was dropped for the 50-query
+        # window, the 720-group hourly rollup is the stronger probe):
+        # the batch twin of streaming.windowed_distinct_counts
         "hll_by_hour": _q_hll_by_hour,
         # per-language doc-length quantiles from a grouped bottom-k
         # sample (deterministic sample -> estimates bit-exact)
@@ -690,6 +673,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 # oracles (DuckDB SQL over the same parquet views)
 # ---------------------------------------------------------------------------
+
+def _quantile_bounds_oracle() -> str:
+    """Oracle twin of ``_q_quantile_bounds``: TRUE per (grp, q) for the
+    global '_all' row-set unioned with every non-null language."""
+    glob = sketches.duckdb_quantile_bound_sql(_SKETCH_QS)
+    grouped = sketches.duckdb_quantile_bound_by_sql(
+        ["lang"], _SKETCH_QS,
+        "(SELECT lang, CAST(length(text) AS DOUBLE) AS v "
+        "FROM documents)", "v")
+    return (
+        f"SELECT '_all' AS grp, q, ok FROM ({glob}) "
+        f"UNION ALL SELECT lang AS grp, q, ok FROM ({grouped})"
+    )
+
 
 def oracle_sql() -> dict[str, str]:
     wp = DUCKDB_WEB_PAGES_SQL.strip().rstrip(";")
@@ -781,7 +778,6 @@ def oracle_sql() -> dict[str, str]:
             WHERE s.n_tokens >= 30 AND s.n_tokens <= 100000
               AND s.stopword_ratio >= 0.0
         """,
-        "cosine_pairs": similarity.duckdb_cosine_pairs_sql(threshold=0.2),
         "cosine_topk": similarity.duckdb_cosine_topk_sql(k=5),
         "lsh_cosine_topk": similarity.duckdb_lsh_cosine_topk_sql(
             k=5, planes=6, tables=4),
@@ -871,32 +867,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.q, e.est_value, x.exact_value
             FROM est e JOIN exact x USING (q)
         """,
-        "tdigest_quantile_bounds":
-            sketches.duckdb_quantile_bound_sql(_SKETCH_QS),
-        "kll_quantile_bounds":
-            sketches.duckdb_quantile_bound_sql(_SKETCH_QS),
-        "quantiles_by_lang_kll": sketches.duckdb_quantile_bound_by_sql(
-            ["lang"], _SKETCH_QS,
-            "(SELECT lang, CAST(length(text) AS DOUBLE) AS v "
-            "FROM documents)", "v"),
-        "hll_by_lang": f"""
-            WITH wp AS ({wp}),
-            est AS ({sketches.duckdb_hll_by_sql("url", ["lang"], 10, "wp")}),
-            exact AS (
-                SELECT lang, CAST(COUNT(DISTINCT url) AS BIGINT)
-                       AS exact_distinct
-                FROM wp GROUP BY lang
-            )
-            SELECT e.lang, e.nonempty_buckets, e.zero_buckets,
-                   e.sum_scaled, e.estimate, x.exact_distinct,
-                   round(abs(e.estimate - x.exact_distinct)
-                         / x.exact_distinct, 4) AS rel_err,
-                   round(abs(e.estimate - x.exact_distinct)
-                         / x.exact_distinct, 4)
-                       <= {sketches.hll_error_bound(10, 3.0)!r}
-                       AS within_bound
-            FROM est e JOIN exact x USING (lang)
-        """,
+        "tdigest_quantile_bounds": _quantile_bounds_oracle(),
+        "kll_quantile_bounds": _quantile_bounds_oracle(),
         "hll_by_hour": f"""
             WITH ev AS (
                 SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour,
