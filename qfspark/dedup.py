@@ -192,6 +192,28 @@ _PAIR_CACHES: list = []
 _PAIR_CACHE_CAP = 16
 
 
+def set_pair_cache_cap(cap: int) -> int:
+    """Resize the pair-cache registry bound. Batch callers holding
+    more than ``_PAIR_CACHE_CAP`` (default 16) unconsumed
+    ``ngram_jaccard``/LSH results at once should raise the cap so FIFO
+    eviction cannot unpersist a cache whose result DataFrame has not
+    been consumed yet (not a correctness issue — unpersist keeps the
+    plan valid — but forcing recompute of an expensive LSH lineage is
+    a perf cliff). Returns the previous cap; shrinking evicts oldest
+    entries immediately."""
+    global _PAIR_CACHE_CAP
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1, got {cap}")
+    prev, _PAIR_CACHE_CAP = _PAIR_CACHE_CAP, int(cap)
+    while len(_PAIR_CACHES) > _PAIR_CACHE_CAP:
+        old = _PAIR_CACHES.pop(0)
+        try:
+            old.unpersist(blocking=False)
+        except Exception:
+            pass
+    return prev
+
+
 def _track_cache(df: DataFrame) -> DataFrame:
     _PAIR_CACHES.append(df)
     while len(_PAIR_CACHES) > _PAIR_CACHE_CAP:
@@ -251,7 +273,14 @@ def ngram_jaccard(
     self-join (the standard skew control for web-scale boilerplate;
     intersections then undercount by the dropped shingles, which is the
     documented approximation every production near-dup pipeline makes —
-    leave None for the exact oracle semantics)."""
+    leave None for the exact oracle semantics).
+
+    Candidate mode persists the deduped pair list in a bounded FIFO
+    registry (``_PAIR_CACHE_CAP``, default 16): callers holding many
+    unconsumed results at once should raise it via
+    ``set_pair_cache_cap`` (eviction is safe but forces recompute);
+    long-lived sessions release deterministically with
+    ``release_pair_caches()``."""
     if pairs is not None:
         from pyspark import StorageLevel
 

@@ -3066,6 +3066,8 @@ def rate_sample_by(df: DataFrame, key_col: str, by, rates,
     by = _norm_by(by)
     if not by:
         raise ValueError("by must name at least one grouping column")
+    if not (0.0 <= default_rate <= 1.0):
+        raise ValueError(f"rate must be in [0, 1], got {default_rate}")
     if isinstance(rates, DataFrame):
         if "rate" not in rates.columns:
             raise ValueError("rates DataFrame needs a 'rate' column")
@@ -3073,20 +3075,35 @@ def rate_sample_by(df: DataFrame, key_col: str, by, rates,
         pred = F.col(key_col).isNotNull()
         for c in by:
             pred = pred & F.col(c).isNotNull()
-        rt = rates.select(
-            *[F.col(c).cast("string").alias(c) for c in by],
-            F.col("rate").cast("double").alias("_rate"))
+        # collision-proof temp names: the caller's frame may already
+        # carry columns named _cut/_rate
+        cutc, ratec = "_cut", "_rate"
+        while cutc in df.columns or ratec in df.columns:
+            cutc, ratec = "_" + cutc, "_" + ratec
+        # rate values are DATA here (not validated at call time like
+        # the dict path's): clamp into [0, 1] so an out-of-range row
+        # degrades to keep-none/keep-all instead of corrupting the
+        # hash compare; dedupe on the group key (max rate wins — a
+        # deterministic reduction; a plain dropDuplicates would pick
+        # an arbitrary survivor and duplicate group rows in the rates
+        # table would otherwise duplicate DATA rows through the join)
+        rt = (rates.select(
+                  *[F.col(c).cast("string").alias(c) for c in by],
+                  F.least(F.greatest(F.col("rate").cast("double"),
+                                     F.lit(0.0)),
+                          F.lit(1.0)).alias(ratec))
+              .groupBy(*by).agg(F.max(ratec).alias(ratec)))
         joined = (
             df.where(pred)
-            .withColumn("_cut", F.expr(h))
+            .withColumn(cutc, F.expr(h))
             .join(F.broadcast(rt), by, "left")
-            .withColumn("_rate", F.coalesce(
-                F.col("_rate"), F.lit(float(default_rate))))
+            .withColumn(ratec, F.coalesce(
+                F.col(ratec), F.lit(float(default_rate))))
         )
         out = joined.where(
-            F.col("_cut") < (F.col("_rate")
-                             * F.lit(float(1 << HASH_BITS)))
-            .cast("bigint")).drop("_cut", "_rate")
+            F.col(cutc) < (F.col(ratec)
+                           * F.lit(float(1 << HASH_BITS)))
+            .cast("bigint")).drop(cutc, ratec)
         return out
     for r in list(rates.values()) + [default_rate]:
         if not (0.0 <= r <= 1.0):

@@ -534,11 +534,16 @@ def windowed_quantiles(
     aggregation, fully JVM-side (Catalyst's ApproximatePercentile
     sketch lives in the state store per open window; closed windows
     evict on watermark advance). Returns (window_start, window_end,
-    q, est) rows in append mode; closed-window rows are row-identical
-    to the same ``percentile_approx`` run in batch over the window's
-    data (the aggregate is deterministic at a fixed ``accuracy``;
-    tested). ``accuracy`` trades state size for rank error — the
-    published bound is 1/accuracy. NULL values excluded.
+    q, est) rows in append mode. The guarantee on closed-window rows
+    is the published rank-error bound: each estimate's rank is within
+    n/``accuracy`` of the requested quantile's over the window's data
+    (ApproximatePercentile's result can depend on the partial-merge
+    tree, so exact identity with a batch ``percentile_approx`` over
+    the same rows holds only when the merge order coincides — as it
+    does in the single-trigger availableNow parity test — and is NOT
+    guaranteed across arbitrary micro-batch/partition splits).
+    ``accuracy`` trades state size for rank error. NULL values
+    excluded.
 
     This is the third member of the native windowed family
     (``windowed_key_counts``, ``windowed_distinct_counts``); for

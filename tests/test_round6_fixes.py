@@ -254,3 +254,119 @@ def test_plan_expansion_detected_inside_union_leg(spark, tmp_path):
     assert _plan_expands_rows(u)
     # footer rung must be skipped: 1000 + 8000 rows, not 2x footer
     assert approx_row_count(u) == 9000
+
+
+# ---------------------------------------------------------------------------
+# 6. rate_sample_by DataFrame-rates hardening (round-5 ADVICE low)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture()
+def lang_docs(spark):
+    return spark.createDataFrame(
+        [(i, ["en", "de", "fr"][i % 3], f"url-{i}") for i in range(300)],
+        "doc_id bigint, lang string, url string")
+
+
+def test_rate_sample_by_df_rates_dedupes_duplicate_group_rows(
+        spark, lang_docs):
+    """Duplicate group rows in the rates table must NOT duplicate data
+    rows through the broadcast join; the max rate wins (deterministic
+    reduction)."""
+    from qfspark.sketches import rate_sample_by
+
+    dup = spark.createDataFrame(
+        [("en", 0.2), ("en", 0.5), ("de", 0.3)], "lang string, rate double")
+    got = rate_sample_by(lang_docs, "url", "lang", dup)
+    want = rate_sample_by(
+        lang_docs, "url", "lang", {"en": 0.5, "de": 0.3})
+    g = sorted(r.doc_id for r in got.collect())
+    w = sorted(r.doc_id for r in want.collect())
+    assert g == w
+    assert len(g) == len(set(g))  # no duplicated data rows
+
+
+def test_rate_sample_by_df_rates_clamps_out_of_range(spark, lang_docs):
+    """Rate VALUES are data in the DataFrame path: >1 degrades to
+    keep-all, <0 to keep-none, instead of corrupting the compare."""
+    from qfspark.sketches import rate_sample_by
+
+    rt = spark.createDataFrame(
+        [("en", 1.7), ("de", -0.4)], "lang string, rate double")
+    out = rate_sample_by(lang_docs, "url", "lang", rt).collect()
+    langs = {r.lang for r in out}
+    assert "de" not in langs            # clamped to 0 -> keep none
+    n_en = sum(1 for r in out if r.lang == "en")
+    assert n_en == 100                  # clamped to 1 -> keep all
+
+
+def test_rate_sample_by_df_rates_collision_proof_temp_cols(spark):
+    """A caller frame already carrying _cut/_rate columns must pass
+    them through untouched."""
+    from qfspark.sketches import rate_sample_by
+
+    df = spark.createDataFrame(
+        [(i, "en", f"u{i}", i * 10, float(i)) for i in range(50)],
+        "doc_id bigint, lang string, url string, _cut bigint, _rate double")
+    rt = spark.createDataFrame([("en", 1.0)], "lang string, rate double")
+    out = rate_sample_by(df, "url", "lang", rt)
+    assert "_cut" in out.columns and "_rate" in out.columns
+    rows = {r.doc_id: (r._cut, r._rate) for r in out.collect()}
+    assert len(rows) == 50
+    assert rows[7] == (70, 7.0)
+
+
+def test_rate_sample_by_validates_default_rate(spark, lang_docs):
+    from qfspark.sketches import rate_sample_by
+
+    rt = spark.createDataFrame([("en", 0.5)], "lang string, rate double")
+    with pytest.raises(ValueError, match="rate"):
+        rate_sample_by(lang_docs, "url", "lang", rt, default_rate=1.5)
+
+
+def test_rate_sample_by_df_rates_nested_and_matches_dict(spark, lang_docs):
+    """DataFrame path == dict path value-for-value, and samples stay
+    nested under rate changes (consistent-hash property)."""
+    from qfspark.sketches import rate_sample_by
+
+    for rates in ({"en": 0.3, "de": 0.6}, {"en": 0.6, "de": 0.9}):
+        rt = spark.createDataFrame(
+            list(rates.items()), "lang string, rate double")
+        got = sorted(r.doc_id for r in rate_sample_by(
+            lang_docs, "url", "lang", rt).collect())
+        want = sorted(r.doc_id for r in rate_sample_by(
+            lang_docs, "url", "lang", rates).collect())
+        assert got == want
+    lo = {r.doc_id for r in rate_sample_by(
+        lang_docs, "url", "lang",
+        spark.createDataFrame([("en", 0.3)], "lang string, rate double")
+    ).collect()}
+    hi = {r.doc_id for r in rate_sample_by(
+        lang_docs, "url", "lang",
+        spark.createDataFrame([("en", 0.6)], "lang string, rate double")
+    ).collect()}
+    assert lo <= hi
+
+
+# ---------------------------------------------------------------------------
+# 7. configurable pair-cache cap (round-5 ADVICE low)
+# ---------------------------------------------------------------------------
+
+def test_set_pair_cache_cap(spark):
+    from qfspark import dedup
+
+    dedup.release_pair_caches()
+    prev = dedup.set_pair_cache_cap(4)
+    try:
+        dfs = [spark.range(10 + i).persist() for i in range(6)]
+        for d in dfs:
+            dedup._track_cache(d)
+        assert len(dedup._PAIR_CACHES) == 4
+        # shrinking evicts oldest immediately
+        dedup.set_pair_cache_cap(2)
+        assert len(dedup._PAIR_CACHES) == 2
+        assert dedup._PAIR_CACHES == dfs[-2:]
+        with pytest.raises(ValueError):
+            dedup.set_pair_cache_cap(0)
+    finally:
+        dedup.release_pair_caches()
+        dedup.set_pair_cache_cap(prev if prev >= 1 else 16)
