@@ -504,18 +504,22 @@ class QF:
         Block-ripple fast path: empty-home elements become pure
         vectorized claims (one scatter_or — a claim never shifts
         anything); for occupied-home elements ONE vectorized 2D
-        gather pulls a small window around each home slot, the exact
-        scalar insert algorithm runs per element against the cheap
-        materialized window (plain Python lists — no per-step
-        bit-vector accessor cost), and all modified slots write back
-        in ONE vectorized scatter. Elements whose affected regions
-        ([cluster floor, first empty slot]) interact — same island,
-        overlapping ripples, window overflow, or a table-wraparound
-        window — are demoted to the classic scalar path, which runs
-        AFTER the vector write-back against live state (so demotion
-        is always safe, never a correctness trade). Measured ~1.4-2x
-        under the per-key scalar loop, with the gap growing with
-        state size (cache misses paid per window, not per walk step;
+        gather pulls a small window around each home slot and the
+        insert algorithm runs VECTORIZED ACROSS ALL ELEMENTS AT ONCE
+        against the materialized windows (``_emulate_insert_batch``:
+        the cluster/run/sorted-position walks become cumsum + argmax
+        column scans, the ripple one masked shifted-copy — ~50 fixed
+        numpy ops per chunk, no per-element Python), then all
+        modified slots write back in ONE vectorized scatter.
+        Elements whose affected regions ([cluster floor, first empty
+        slot]) interact — same island, overlapping ripples, window
+        overflow, or a table-wraparound window — are demoted to the
+        classic scalar path, which runs AFTER the vector write-back
+        against live state (so demotion is always safe, never a
+        correctness trade). Measured ~1.6-2.5x under the per-key
+        scalar loop at batch 200 and ~3-4x at batch 2000 (the fixed
+        numpy dispatch amortizes with batch size; cache misses paid
+        per window, not per walk step;
         scripts/profile_stream_insert.py). A genuinely batch-scale
         rebuild is still ``from_hashes``/``merge_many``, which wins
         once the batch is a meaningful fraction of the state.
@@ -555,12 +559,15 @@ class QF:
         Three tiers: empty-home elements become pure vectorized CLAIMS
         (one scatter_or, no window needed — a claim never shifts
         anything); occupied-home elements gather a small window each
-        (one 2D gather) and run the exact scalar algorithm against the
-        materialized window; elements whose affected regions interact
-        with a kept element's region — or overflow/wrap the window —
-        run the classic scalar path LAST, against live post-vector
-        state (always safe; the canonical layout makes the final bytes
-        order-independent)."""
+        (one 2D gather) and run the insert algorithm VECTORIZED ACROSS
+        ALL ROWS AT ONCE against the materialized windows (round-6:
+        ~50 fixed numpy ops per chunk replace the round-5 per-row
+        Python emulation — the data-dependent walks become cumsum /
+        argmax column scans, the ripple one masked shifted-copy);
+        elements whose affected regions interact with a kept element's
+        region — or overflow/wrap the window — run the classic scalar
+        path LAST, against live post-vector state (always safe; the
+        canonical layout makes the final bytes order-independent)."""
         n = len(sh)
         out = np.zeros(n, dtype=bool)
         size = self.size
@@ -588,10 +595,7 @@ class QF:
             # >= home] — cluster-floor = the last empty slot <= home
             # (the backward cluster walk can never reach an empty
             # slot), first-empty = where the ripple lands.
-            dq_l = dq.tolist()
-            cand: list = [(dq_l[i], i, dq_l[i], -1)
-                          for i in claim_rows.tolist()]
-            wvals = svals = None
+            wvals = svals = e_col = None
             if occ_rows.size:
                 offs = np.arange(win, dtype=np.int64) - back
                 widx = dq[occ_rows, None] + offs[None, :]
@@ -606,44 +610,57 @@ class QF:
                 e_col = back + np.argmax(meta_empty[:, back:], axis=1)
                 ok = left_empty.any(axis=1) & \
                     meta_empty[:, back:].any(axis=1)
-                occ_l = occ_rows.tolist()
-                ok_l = ok.tolist()
-                s_l = (dq[occ_rows] + (s_col - back)).tolist()
-                e_l = (dq[occ_rows] + (e_col - back)).tolist()
-                for k in range(len(occ_l)):
-                    if ok_l[k]:
-                        cand.append((s_l[k], occ_l[k], e_l[k], k))
-                    else:
-                        scalar_list.append(occ_l[k])
+                if not ok.all():
+                    scalar_list.extend(occ_rows[~ok].tolist())
+                    occ_rows = occ_rows[ok]
+                    wsel = np.flatnonzero(ok)
+                    s_col, e_col = s_col[ok], e_col[ok]
+                else:
+                    wsel = np.arange(occ_rows.size)
 
-            # conflict sweep over ALL candidate regions in start order:
-            # overlap with a kept region demotes the later row to the
-            # scalar pass (which runs after the vector write-back, so
-            # demotion is always safe — a kept row's computation never
+            # conflict sweep over ALL candidate regions in start order
+            # (vectorized, CONSERVATIVE: a row whose region start
+            # overlaps the running max of every earlier region end is
+            # demoted — a superset of the exact last-KEPT-end sweep's
+            # demotions, so kept regions remain pairwise disjoint and
+            # demotion stays safe: the scalar pass runs after the
+            # vector write-back, so a kept row's computation never
             # depends on a demoted one). Equal-start ties keep the
             # ascending-hash-first row, preserving duplicate-flag
             # order.
-            cand.sort()
-            kept_claims: list = []
-            kept_occ: list = []  # (chunk row, window row)
-            kept_end = -1
-            first = True
-            for s, i, e, k in cand:
-                if not first and s <= kept_end:
-                    scalar_list.append(i)
-                    continue
-                first = False
-                kept_end = e
-                if k < 0:
-                    kept_claims.append(i)
+            n_claim = claim_rows.size
+            n_occ = occ_rows.size if wvals is not None else 0
+            if n_claim + n_occ:
+                if n_occ:
+                    starts = np.concatenate(
+                        [dq[claim_rows], dq[occ_rows] + (s_col - back)])
+                    ends = np.concatenate(
+                        [dq[claim_rows], dq[occ_rows] + (e_col - back)])
+                    rowix = np.concatenate([claim_rows, occ_rows])
                 else:
-                    kept_occ.append((i, k))
+                    starts = ends = dq[claim_rows]
+                    rowix = claim_rows
+                order = np.lexsort((rowix, starts))
+                st, en = starts[order], ends[order]
+                keep = np.empty(order.size, dtype=bool)
+                keep[0] = True
+                if order.size > 1:
+                    keep[1:] = st[1:] > np.maximum.accumulate(en)[:-1]
+                kept = np.zeros(order.size, dtype=bool)
+                kept[order] = keep
+                if not keep.all():
+                    scalar_list.extend(rowix[~kept].tolist())
+                kept_claims = claim_rows[kept[:n_claim]]
+                occ_kept = kept[n_claim:]
+            else:
+                kept_claims = claim_rows
+                occ_kept = np.zeros(0, dtype=bool)
 
             new_entries = 0
             # tier 1: vectorized claims (target slots empty -> OR is
             # assignment; the storage slot of a never-used slot is 0)
-            if kept_claims:
-                ck = np.array(kept_claims, dtype=np.int64)
+            if kept_claims.size:
+                ck = kept_claims
                 self.filter.scatter_or(
                     dq[ck],
                     U64(_OCC) | (dr[ck].astype(U64) << U64(3)))
@@ -652,43 +669,32 @@ class QF:
                     if cv:
                         self.storage.scatter_or(
                             dq[ck], np.full(ck.size, cv, dtype=U64))
-                new_entries += len(kept_claims)
+                new_entries += kept_claims.size
 
-            # tier 2: windowed emulation for kept occupied-home rows
-            if kept_occ:
-                vec_writes: dict[int, int] = {}
-                stor_writes: dict[int, int] = {}
-                wflat = wvals.ravel().tolist()
-                sflat = (svals.ravel().tolist()
-                         if has_storage else None)
-                dr_l = dr.tolist()
-                emulate = self._emulate_insert
-                present_rows = []
-                for i, k in kept_occ:
-                    res = emulate(wflat, sflat, k * win, win, back,
-                                  dr_l[i], value, add, cmask,
-                                  has_storage, vec_writes, stor_writes,
-                                  dq_l[i] - back - k * win)
-                    if res is None:
-                        scalar_list.append(i)
-                    elif res:
-                        present_rows.append(i)
-                    else:
-                        new_entries += 1
-                if present_rows:
-                    out[present_rows] = True
-                if vec_writes:
-                    self.filter.scatter(
-                        np.fromiter(vec_writes.keys(), dtype=np.int64,
-                                    count=len(vec_writes)),
-                        np.fromiter(vec_writes.values(), dtype=U64,
-                                    count=len(vec_writes)))
-                if stor_writes:
-                    self.storage.scatter(
-                        np.fromiter(stor_writes.keys(), dtype=np.int64,
-                                    count=len(stor_writes)),
-                        np.fromiter(stor_writes.values(), dtype=U64,
-                                    count=len(stor_writes)))
+            # tier 2: one vectorized emulation across every kept
+            # occupied-home row
+            if occ_kept.any():
+                krows = occ_rows[occ_kept]          # chunk rows
+                kw = wsel[occ_kept]                 # window rows
+                present, failed, nn, fw, fs = self._emulate_insert_batch(
+                    wvals[kw],
+                    svals[kw] if has_storage else None,
+                    dq[krows], (sh[krows] & self.r_mask),
+                    e_col[occ_kept], value, add)
+                new_entries += nn
+                if failed.any():
+                    scalar_list.extend(krows[failed].tolist())
+                if present.any():
+                    out[krows[present]] = True
+                wrow, wcol, wv = fw
+                if wrow.size:
+                    base = dq[krows] - back
+                    self.filter.scatter(base[wrow] + wcol, wv)
+                if fs is not None:
+                    srow, scol, sv = fs
+                    if srow.size:
+                        base = dq[krows] - back
+                        self.storage.scatter(base[srow] + scol, sv)
             self.entries += new_entries
             scalar_list.sort()
             scalar_ix = scalar_list
@@ -705,122 +711,154 @@ class QF:
             out[present_scalar] = True
         return out
 
-    @staticmethod
-    def _emulate_insert(vals: list, stor: list | None, off: int,
-                        win: int, back: int, dr: int, value: int,
-                        add: bool, cmask: int, has_storage: bool,
-                        writes: dict, swrites: dict, base: int):
-        """The exact ``_insert_hash_nogrow`` algorithm run against a
-        materialized window (flat Python list; this row's window spans
-        ``vals[off:off + win]`` with the home slot at ``off + back``).
-        Records modified slots into the shared ``writes``/``swrites``
-        dicts keyed by ABSOLUTE slot (``base`` maps flat index ->
-        slot). Returns the 'was present' flag, or None when the walk
-        leaves the window — every write of this call is rolled back
-        and the caller falls back to the scalar path. Caller
-        guarantees the home slot is non-empty (empty homes take the
-        vectorized claim tier) and kept regions are disjoint (so the
-        absolute keys of distinct rows never collide)."""
-        touched: list = []
-        lo = off
-        hi = off + win
-        B = off + back
-        sd = vals[B]
+    def _emulate_insert_batch(self, W, S, dq_r, dr_r, e_col, value, add):
+        """The exact ``_insert_hash_nogrow`` algorithm run VECTORIZED
+        across every kept occupied-home row's materialized window at
+        once (W: rows x win uint64, home slot at column ``_WIN_BACK``).
+        The three data-dependent walks become column scans — backward
+        cluster walk: cumsum of OCC / non-CONT up to the first
+        shift-clear column; forward run_start walk: position of the
+        ``runs-complete``-th non-CONT column after home; in-run sorted
+        position: argmax of a stop mask — and the ripple becomes one
+        masked shifted-copy of the window (new[j] = f(old[j-1]) over
+        [slot, first-empty]). Rows whose walk would leave the window
+        report ``failed`` and write NOTHING (the caller demotes them
+        to the scalar path against live state). Caller guarantees
+        homes are non-empty and kept regions pairwise disjoint, so
+        write-back cells never collide across rows.
 
-        extending = bool(sd & _OCC)
-        if not extending:
-            vals[B] = sd | _OCC
-            writes[base + B] = vals[B]
-            touched.append(B)
+        Returns (present, failed, n_new, (wrow, wcol, wval),
+        (srow, scol, sval) | None) with columns relative to the
+        window (caller maps to absolute slots)."""
+        B = self._WIN_BACK
+        R, win = W.shape
+        nright = win - B                    # right half: home at col 0
+        cmask = self.counter_mask
+        has_storage = S is not None
+        rows = np.arange(R)
+        OCCu, CONTu, SHIFTu = U64(_OCC), U64(_CONT), U64(_SHIFT)
 
-        run_start = B
-        if sd & _SHIFT:
-            runs, complete = 1, 0
-            i = B
-            while True:
-                if i < lo:
-                    writes.pop(base + B, None)
-                    return None
-                sdi = vals[i]
-                if not (sdi & _CONT):
-                    complete += 1
-                if not (sdi & _SHIFT):
-                    break
-                if sdi & _OCC:
-                    runs += 1
-                i -= 1
-            pos = B
-            while runs > complete:
-                pos += 1
-                if pos >= hi:
-                    writes.pop(base + B, None)
-                    return None
-                if not (vals[pos] & _CONT):
-                    complete += 1
-            run_start = pos
+        # stage 1 reads only the left half [0, B]; stages 2-3 only the
+        # right half [B, win) (run_start/slot/ripple all sit at or
+        # after home) — no full-width bit extraction needed.
+        Wl = W[:, :B + 1]
+        Wr = W[:, B:]
+        dr_u = dr_r.astype(U64, copy=False)
+        drs = dr_u << U64(3)
 
-        # find sorted position within the run
-        slot = run_start
-        cur = vals[slot]
-        if extending:
-            while True:
-                if (cur & _META) == 0 or (cur >> 3) >= dr:
-                    break
-                slot += 1
-                if slot >= hi:
-                    writes.pop(base + B, None)
-                    return None
-                cur = vals[slot]
-                if not (cur & _CONT):
-                    break
-            if (cur & _META) != 0 and (cur >> 3) == dr and (
-                slot == run_start or (cur & _CONT)
-            ):
-                # duplicate within our own run
-                if has_storage:
-                    nv = min(stor[slot] + value, cmask) if add \
-                        else min(value, cmask)
-                    swrites[base + slot] = nv
-                    stor[slot] = nv
-                return True
+        home = Wr[:, 0]
+        extending = (home & OCCu) != 0
+        nonext = ~extending
 
-        # case 3: ripple-shift the new remainder into place
-        shifted_bit = slot != B
-        cont_bit = slot != run_start
-        cur_r = dr
-        cur_v = min(value, cmask)
-        while True:
-            old = vals[slot]
-            new = (
-                (old & _OCC)
-                | (_CONT if cont_bit else 0)
-                | (_SHIFT if shifted_bit else 0)
-                | (cur_r << 3)
-            )
-            vals[slot] = new
-            writes[base + slot] = new
-            touched.append(slot)
-            if has_storage:
-                old_v = stor[slot]
-                stor[slot] = cur_v
-                swrites[base + slot] = cur_v
-                cur_v = old_v
-            if (old & _META) == 0:
-                break
-            if (slot == run_start and extending) or (old & _CONT):
-                cont_bit = True
-            else:
-                cont_bit = False
-            cur_r = old >> 3
-            slot += 1
-            if slot >= hi:
-                for t in touched:
-                    writes.pop(base + t, None)
-                    if has_storage:
-                        swrites.pop(base + t, None)
-                return None
-            shifted_bit = True
-        return False
+        # ---- stage 1: run_start (findStart, qf.go:422-444) ----
+        # The scalar path claims the OCC bit at home FIRST (the walk
+        # reads the claimed value), so the occupancy count includes it.
+        shiftl = (Wl & SHIFTu) != 0
+        need_walk = shiftl[:, B]
+        left_sc = ~shiftl
+        found_sc = left_sc.any(axis=1)
+        stop = B - np.argmax(left_sc[:, ::-1], axis=1)
+        occl = (Wl & OCCu) != 0
+        occl[nonext, B] = True
+        nc = (Wl & CONTu) == 0
+        # runs - complete in one cumsum: d = occupied - run-terminator
+        d_cs = np.cumsum(occl.astype(np.int8) - nc, axis=1)
+        need = np.where(
+            need_walk,
+            1 + (d_cs[:, B] - d_cs[rows, stop]) - nc[rows, stop], 0)
+        ncontr = (Wr & CONTu) == 0
+        ncr_cs = np.cumsum(ncontr[:, 1:], axis=1)
+        failed = need_walk & ((need > ncr_cs[:, -1]) | ~found_sc)
+        rs_off = np.argmax(
+            ncr_cs >= np.maximum(need, 1)[:, None], axis=1)
+        rs = np.where(need > 0, 1 + rs_off, 0)  # right-half column
+
+        # ---- stage 2: sorted position within the run ----
+        # rem >= dr collapses to Wr >= dr<<3 (remainder above the 3
+        # meta bits; equality at rem == dr regardless of meta).
+        rsc = rs[:, None]
+        grid = np.arange(nright, dtype=np.int64)[None, :]
+        stopm = ((Wr & U64(_META)) == 0) | (Wr >= drs[:, None])
+        crit = (stopm & (grid >= rsc)) | (ncontr & (grid > rsc))
+        slot = np.where(extending, np.argmax(crit, axis=1), rs)
+
+        cur = Wr[rows, slot]
+        dup = (extending & ((cur & U64(_META)) != 0)
+               & ((cur >> U64(3)) == dr_u)
+               & ((slot == rs) | ((cur & CONTu) != 0)) & ~failed)
+        present = dup
+        rip = ~failed & ~dup
+
+        # ---- stage 3: ripple-shift [slot, first-empty] ----
+        # end = e_col: the first empty column >= home; no empties in
+        # [home, slot) (the stage-2 stop mask halts on one), so it is
+        # also the first empty >= slot — and the region check already
+        # guaranteed it lies inside the window. Shifted cells compose
+        # from the raw predecessor word: CONT and remainder travel
+        # together in (old & ~(OCC|SHIFT)); OCC stays per-slot; SHIFT
+        # is always set past the insertion point.
+        ecr = e_col - B
+        newWr = (Wr & OCCu) | SHIFTu
+        newWr[:, 1:] |= Wr[:, :-1] & U64(
+            0xFFFFFFFFFFFFFFFF ^ (_OCC | _SHIFT))
+        # the run_start slot of an extending row hands its CONT bit
+        # on regardless of its old value (it becomes the run's second
+        # element)
+        fix = extending & (rs + 1 < nright)
+        if fix.any():
+            fr = np.flatnonzero(fix)
+            newWr[fr, rs[fr] + 1] |= CONTu
+        # the insertion cell itself
+        occ_at = (cur & OCCu) | np.where(
+            nonext & (slot == 0), OCCu, U64(0))
+        newWr[rows, slot] = (
+            occ_at
+            | np.where(slot != rs, CONTu, U64(0))
+            | np.where(slot != 0, SHIFTu, U64(0))
+            | drs)
+
+        in_rip = (rip[:, None] & (grid >= slot[:, None])
+                  & (grid <= ecr[:, None]))
+        rrow, rcol = np.nonzero(in_rip)
+        wrow, wcol = rrow, rcol
+        wv = newWr[wrow, wcol]
+        # bare OCC claim at home for non-extending rows whose ripple
+        # starts past it
+        claim_extra = nonext & ~failed & (slot > 0)
+        if claim_extra.any():
+            crows = np.flatnonzero(claim_extra)
+            wrow = np.concatenate([wrow, crows])
+            wcol = np.concatenate([wcol, np.zeros(crows.size,
+                                                  dtype=wcol.dtype)])
+            wv = np.concatenate([wv, home[crows] | OCCu])
+        wcol = wcol + B
+
+        fs = None
+        if has_storage:
+            cv = U64(min(value, cmask))
+            Sr = S[:, B:]
+            newSr = np.empty_like(Sr)
+            newSr[:, 1:] = Sr[:, :-1]
+            newSr[:, 0] = 0
+            newSr[rows, slot] = cv
+            srow, scol = rrow, rcol
+            sv = newSr[srow, scol]
+            drows = np.flatnonzero(dup)
+            if drows.size:
+                dslot = slot[drows]
+                if add:
+                    old = Sr[drows, dslot]
+                    cm = U64(cmask)
+                    sat = old >= cm - cv
+                    dv = np.where(sat, cm, old + cv)
+                else:
+                    dv = np.full(drows.size, cv, dtype=U64)
+                srow = np.concatenate([srow, drows])
+                scol = np.concatenate([scol, dslot])
+                sv = np.concatenate([sv, dv])
+            fs = (srow, scol + B, sv)
+
+        return present, failed, int(rip.sum()), (wrow, wcol, wv), fs
 
     def _read(self, slot: int) -> int:
         return self.filter.get(slot)
