@@ -603,3 +603,156 @@ def windowed_key_counts(
             "cnt",
         )
     )
+
+
+def windowed_heavy_hitters(
+    stream_df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    k: int = 256,
+    window: str = "10 minutes",
+    watermark: str = "30 minutes",
+    shards: int = 8,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Approximate heavy hitters per event-time window (e.g. top domains
+    per 10-minute ingestion window): a Misra-Gries summary per
+    (window, item-hash shard) group maintained in
+    ``applyInPandasWithState`` with event-time timeout eviction — the
+    fourth member of the windowed family (``windowed_key_counts``,
+    ``windowed_distinct_counts``, ``windowed_quantiles``), completing
+    counts / distinct counts / quantiles / top-k.
+
+    Exact per-window key counts need one state row per (window, key) —
+    unbounded in distinct keys. This operator's state is
+    ``shards * (k+1)`` counters per OPEN window, independent of the key
+    universe, and closed windows are evicted by the timeout the moment
+    the watermark passes their end.
+
+    Sharding: items route to ``pmod(xxhash64(item), shards)``, so every
+    occurrence of an item lands in ONE shard and the per-item guarantee
+    is inherited from that shard's summary over its substream:
+    ``est <= true_window_count <= est + err`` with
+    ``err <= n_shard/(k+1) <= n_window/(k+1)``, and every item whose
+    true window count exceeds ``n_window/(k+1)`` is guaranteed present
+    (it certainly exceeds its own shard's ``n_shard/(k+1)``). Sharding
+    also spreads a hot window across ``shards`` state-store partitions
+    instead of funnelling the whole micro-batch through one group.
+
+    Scale shape: the shuffle moving rows to their (window, shard) group
+    carries two/three columns (window struct, item[, weight]); per-batch
+    per-group work is one vectorized ``value_counts`` + an O(k log k)
+    prune (classic streaming MG: prune after every batch, so the
+    in-flight dict holds <= k + batch-distinct entries); <= k rows leave
+    each group only when its window closes. Like any Misra-Gries run the
+    surviving counter set depends on arrival order, so closed-window
+    rows are gated on the bound above vs a batch count over the
+    window's data, not on row-identity (tested).
+
+    With ``weight_col`` (non-negative integer weights, e.g. bytes per
+    page) counts become weight sums and n the total window weight.
+
+    Returns a streaming DataFrame of
+    (window_start, window_end, item, est, err) rows in append mode —
+    rows are emitted only when a window's watermark-driven timeout
+    fires, i.e. every emitted row belongs to a CLOSED window. ``err``
+    is the emitting shard's accumulated decrement total (the item's
+    under-count bound). Aggregate nothing downstream: the table is
+    already <= shards*k rows per window."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if shards < 1:
+        raise ValueError(f"shards must be >= 1, got {shards}")
+
+    cols = [
+        F.window(F.col(ts_col), window).alias("w"),
+        F.col(key_col).cast("string").alias("item"),
+    ]
+    if weight_col is not None:
+        cols.append(F.col(weight_col).cast("long").alias("wt"))
+    # the watermark rides as metadata on the window-struct attribute:
+    # keep `w` whole through the groupBy (projecting w.start/w.end
+    # strips the delay tag and the event-time timeout is rejected)
+    routed = (
+        stream_df.withWatermark(ts_col, watermark)
+        .where(F.col(key_col).isNotNull())
+        .select(*cols)
+        .select(
+            "w",
+            F.pmod(F.xxhash64("item"), F.lit(shards)).alias("shard"),
+            *(["item"] if weight_col is None else ["item", "wt"]),
+        )
+    )
+
+    def _mg(key, pdf_iter, state: GroupState):
+        w, _shard = key
+        window_start, window_end = (
+            (w["start"], w["end"]) if isinstance(w, dict)
+            else (w[0], w[1]))
+        if state.hasTimedOut:
+            # watermark passed window_end: emit the closed window's
+            # summary rows and drop the state
+            if state.exists:
+                items, counts, err = state.get
+                state.remove()
+                if len(items):
+                    yield pd.DataFrame({
+                        "window_start": [window_start] * len(items),
+                        "window_end": [window_end] * len(items),
+                        "item": list(items),
+                        "est": list(counts),
+                        "err": [err] * len(items),
+                    })
+            return
+        if state.exists:
+            items, counts, err = state.get
+            running = pd.Series(list(counts),
+                                index=list(items), dtype="int64")
+            err = int(err)
+        else:
+            running, err = None, 0
+        for pdf in pdf_iter:
+            if len(pdf) == 0:
+                continue
+            if weight_col is None:
+                vc = pdf["item"].value_counts()
+            else:
+                sub = pdf.dropna(subset=["wt"])
+                if (sub["wt"] < 0).any():
+                    raise ValueError(
+                        "windowed_heavy_hitters weights must be "
+                        "non-negative")
+                vc = sub.groupby("item")["wt"].sum()
+            running = vc if running is None \
+                else running.add(vc, fill_value=0)
+            running = running.astype("int64")
+            if len(running) > k:
+                # subtract the (k+1)-th largest from every counter and
+                # drop the non-positives — removes >= (k+1)*t of
+                # counter mass, the accounting the n/(k+1) bound
+                # rides on
+                t = int(running.sort_values(ascending=False).iloc[k])
+                running = running - t
+                running = running[running > 0]
+                err += t
+        if running is not None:
+            state.update((list(map(str, running.index)),
+                          [int(c) for c in running.to_numpy()], err))
+            # evict when the watermark passes the window end (strictly
+            # later than the current watermark: every row reaching this
+            # group has ts >= watermark and ts < window_end)
+            state.setTimeoutTimestamp(
+                int(window_end.timestamp() * 1000))
+
+    return routed.groupBy("w", "shard").applyInPandasWithState(
+        _mg,
+        outputStructType=(
+            "window_start timestamp, window_end timestamp, "
+            "item string, est long, err long"),
+        stateStructType="items array<string>, counts array<long>, err long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

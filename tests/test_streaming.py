@@ -140,6 +140,87 @@ def test_windowed_distinct_counts_matches_batch(spark):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+@pytest.mark.parametrize("weighted", [False, True])
+def test_windowed_heavy_hitters_bound(spark, weighted):
+    """Per-window Misra-Gries under watermark: every row emitted for a
+    closed window must satisfy est <= true <= est + err, every item
+    whose true count exceeds n_window/(k+1) must be present, and only
+    closed windows may emit (the MG counter set depends on arrival
+    order, so the n/(k+1) guarantee — not row-identity — is the
+    contract, like the batch mg_summary's)."""
+    import os
+
+    from qfspark.streaming import windowed_heavy_hitters
+
+    tmp = tempfile.mkdtemp(prefix="qfwhh_")
+    src = f"{tmp}/src"
+    try:
+        ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+            "ts", F.col("user_id").cast("string").alias("user"),
+            (F.col("user_id") % 7 + 1).cast("long").alias("wt"))
+        os.makedirs(src, exist_ok=True)
+        # three time-ordered files + maxFilesPerTrigger=1: the watermark
+        # advances between micro-batches, so earlier windows' event-time
+        # timeouts fire and emit before the stream ends
+        pdf = ev.toPandas().sort_values("ts").reset_index(drop=True)
+        for i, part in enumerate(
+                (pdf.iloc[:len(pdf) // 3],
+                 pdf.iloc[len(pdf) // 3: 2 * len(pdf) // 3],
+                 pdf.iloc[2 * len(pdf) // 3:])):
+            part.to_parquet(
+                f"{src}/part{i}.parquet", coerce_timestamps="us",
+                allow_truncated_timestamps=True)
+
+        stream = (spark.readStream
+                  .schema("ts timestamp, user string, wt long")
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        k = 8
+        hh = windowed_heavy_hitters(
+            stream, "ts", "user", k=k, window="1 hour",
+            watermark="1 minute", shards=4,
+            weight_col="wt" if weighted else None)
+        q = (hh.writeStream.format("memory").queryName("win_hh")
+             .outputMode("append")
+             .option("checkpointLocation", f"{tmp}/ckpt")
+             .trigger(availableNow=True).start())
+        q.awaitTermination(240)
+        got = spark.sql("SELECT * FROM win_hh").collect()
+        assert got, "no closed windows emitted"
+
+        agg = (F.sum("wt") if weighted
+               else F.count(F.lit(1))).alias("cnt")
+        batch = (ev.groupBy(F.window("ts", "1 hour").alias("w"), "user")
+                 .agg(agg)
+                 .select(F.col("w.start").alias("ws"), "user", "cnt"))
+        true = {(r.ws, r.user): r.cnt for r in batch.collect()}
+        n_w = {}
+        for (ws, _), c in true.items():
+            n_w[ws] = n_w.get(ws, 0) + c
+
+        emitted_windows = set()
+        got_items = {}
+        for r in got:
+            emitted_windows.add(r.window_start)
+            assert (r.window_start, r.item) not in got_items, \
+                "duplicate emission"
+            got_items[(r.window_start, r.item)] = (r.est, r.err)
+        # only closed windows emit: the max-start window is still open
+        max_ws = max(ws for ws, _ in true)
+        assert max_ws not in emitted_windows
+        # per-item bound: est <= true <= est + err
+        for (ws, item), (est, err) in got_items.items():
+            t = true[(ws, item)]
+            assert est <= t <= est + err, (ws, item, est, err, t)
+            assert err <= n_w[ws] // (k + 1) + 1, (ws, err, n_w[ws])
+        # completeness: every true heavy hitter of an emitted window
+        # is present
+        for (ws, user), c in true.items():
+            if ws in emitted_windows and c > n_w[ws] / (k + 1):
+                assert (ws, user) in got_items, (ws, user, c)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def test_windowed_quantiles_matches_batch(spark):
     """Per-window percentile_approx as a native windowed streaming
     agg: closed-window rows row-identical to the same aggregate run in
