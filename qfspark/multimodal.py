@@ -8,21 +8,24 @@ Decode coverage is split by what this container can honestly do:
 
 * **Real decoders, pure stdlib + numpy** — uncompressed 24-bit BMP
   images (``decode_bmp``/``encode_bmp``, struct-level header parse with
-  row-stride/bottom-up handling, nearest-neighbor ``resize_image``) and
-  PCM WAV audio (``decode_wav`` via the stdlib ``wave`` module: RMS,
-  zero-crossing rate, peak, duration). Payloads are format-sniffed by
-  magic bytes and decoded for real; the decode is oracle-checked
-  end-to-end (the ``media_image_decode`` entry query generates BMP bytes
-  in-executor, decodes them, and DuckDB verifies the extracted
-  dimensions/colors against closed-form expectations).
-* **Optional real codecs** — JPEG/PNG decode via PIL when it is
-  importable (``_pil_featurizer``; same ``_rgb_features`` recipe as the
-  BMP path, so codecs never change the feature contract — pinned by a
-  PIL-gated test that compares PNG and BMP features for identical
-  pixels). Where PIL is absent (this container), those payloads fall
-  through to a deterministic byte-level featurizer (histogram +
-  moments) exactly as before; ``_try_real_decoder`` remains the
-  plug-point for wiring other decoders in.
+  row-stride/bottom-up handling, nearest-neighbor ``resize_image``),
+  non-interlaced PNG (``decode_png``/``encode_png``: zlib inflate +
+  per-scanline unfilter covering all five filter types, all five color
+  types, every legal bit depth, CRC-verified), and PCM WAV audio
+  (``decode_wav`` via the stdlib ``wave`` module: RMS, zero-crossing
+  rate, peak, duration). Payloads are format-sniffed by magic bytes and
+  decoded for real; the decode is oracle-checked end-to-end (the
+  ``media_image_decode`` entry query generates BMP bytes in-executor,
+  decodes them, and DuckDB verifies the extracted dimensions/colors
+  against closed-form expectations; the PNG path is pinned feature-
+  identical to the BMP path on the same pixels).
+* **Optional real codecs** — JPEG decode via PIL when it is importable
+  (``_pil_featurizer``; same ``_rgb_features`` recipe, so codecs never
+  change the feature contract). Where PIL is absent (this container),
+  JPEG payloads — and undecodable variants like Adam7-interlaced PNG —
+  fall through to a deterministic byte-level featurizer (histogram +
+  moments); ``_try_real_decoder`` remains the plug-point for wiring
+  other decoders in.
 
 Scale notes: media bytes never pass through a shuffle (features are
 extracted in the scan stage's partitions via ``mapInPandas``); only the
@@ -119,6 +122,168 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     if h_signed > 0:
         img = img[::-1]  # bottom-up -> top-down
     return np.ascontiguousarray(img)
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+#: channel count per PNG color type (0 gray, 2 RGB, 3 palette,
+#: 4 gray+alpha, 6 RGBA)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+#: bit depths the spec allows per color type
+_PNG_DEPTHS = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+               4: (8, 16), 6: (8, 16)}
+
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as a lossless non-interlaced
+    8-bit truecolor PNG (filter type 0 per scanline, one zlib IDAT) —
+    pure stdlib, byte-for-byte readable by any PNG viewer."""
+    import zlib
+
+    h, w, c = pixels.shape
+    if c != 3:
+        raise ValueError("encode_png expects (h, w, 3) RGB")
+    raw = b"".join(
+        b"\x00" + pixels[y].astype(np.uint8).tobytes() for y in range(h))
+    return (_PNG_SIG
+            + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+            + _png_chunk(b"IDAT", zlib.compress(raw))
+            + _png_chunk(b"IEND", b""))
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Decode a non-interlaced PNG to an (h, w, 3) uint8 RGB array —
+    pure stdlib (zlib inflate) + numpy (per-scanline unfilter).
+
+    Full non-interlaced coverage: all five filter types (None/Sub/Up/
+    Average/Paeth), all five color types (grayscale, truecolor,
+    palette, gray+alpha, RGBA — alpha is dropped, matching
+    ``PIL convert("RGB")`` on our fixtures), every legal bit depth
+    (1/2/4/8/16; 16-bit takes the high byte, sub-8-bit grayscale is
+    rescaled to 0..255). Chunk CRCs are verified. Raises ValueError on
+    non-PNG, truncated, CRC-corrupt, or Adam7-interlaced payloads
+    (interlacing is the one spec feature not implemented — callers
+    fall back; see ``extract_media_features``)."""
+    import zlib
+
+    if len(payload) < 8 or payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, idat, plte, ihdr = 8, [], None, None
+    while pos + 12 <= len(payload):
+        (ln,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4: pos + 8]
+        if pos + 12 + ln > len(payload):
+            raise ValueError("truncated PNG chunk")
+        data = payload[pos + 8: pos + 8 + ln]
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + ln)
+        if zlib.crc32(tag + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG {tag!r} chunk CRC mismatch")
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif tag == b"PLTE":
+            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif tag == b"IDAT":
+            idat.append(data)
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, ctype, comp, filt, interlace = ihdr
+    if comp != 0 or filt != 0:
+        raise ValueError("unsupported PNG compression/filter method")
+    if interlace != 0:
+        raise ValueError("Adam7-interlaced PNG unsupported")
+    if ctype not in _PNG_CHANNELS or depth not in _PNG_DEPTHS[ctype]:
+        raise ValueError(f"bad PNG color type/depth {ctype}/{depth}")
+    if w == 0 or h == 0:
+        raise ValueError("empty PNG")
+
+    channels = _PNG_CHANNELS[ctype]
+    bits_pp = depth * channels
+    stride = (w * bits_pp + 7) // 8
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != (stride + 1) * h:
+        raise ValueError("PNG pixel data length mismatch")
+    arr = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
+    ftypes = arr[:, 0]
+    # filter unit: the byte distance to the "left" sample (1 for
+    # sub-byte depths, per the spec)
+    bpp = max(1, bits_pp // 8)
+    recon = np.zeros((h, stride), np.int64)
+    prior = np.zeros(stride, np.int64)
+    for y in range(h):
+        f = int(ftypes[y])
+        rec = arr[y, 1:].astype(np.int64)
+        if f == 0:
+            pass
+        elif f == 1:  # Sub: recon[x] = filt[x] + recon[x-bpp]
+            for c in range(bpp):
+                rec[c::bpp] = np.cumsum(rec[c::bpp]) % 256
+        elif f == 2:  # Up
+            rec = (rec + prior) % 256
+        elif f == 3:  # Average (sequential: depends on decoded left)
+            for x in range(stride):
+                left = rec[x - bpp] if x >= bpp else 0
+                rec[x] = (rec[x] + (left + prior[x]) // 2) % 256
+        elif f == 4:  # Paeth (sequential)
+            for x in range(stride):
+                a = rec[x - bpp] if x >= bpp else 0
+                b = prior[x]
+                c = prior[x - bpp] if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else \
+                    (b if pb <= pc else c)
+                rec[x] = (rec[x] + pred) % 256
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+        recon[y] = rec
+        prior = rec
+    img = recon.astype(np.uint8)
+
+    if depth == 8:
+        samples = img[:, : w * channels].reshape(h, w, channels)
+    elif depth == 16:
+        samples = img[:, : w * channels * 2].reshape(
+            h, w, channels, 2)[:, :, :, 0]  # high byte
+    else:  # 1/2/4-bit grayscale or palette (channels == 1)
+        per_byte = 8 // depth
+        shifts = (np.arange(per_byte - 1, -1, -1) * depth).astype(np.uint8)
+        vals = (img[:, :, None] >> shifts[None, None, :]) \
+            & ((1 << depth) - 1)
+        samples = vals.reshape(h, -1)[:, :w][:, :, None]
+
+    if ctype == 2:
+        rgb = samples
+    elif ctype == 6:
+        rgb = samples[:, :, :3]
+    elif ctype in (0, 4):
+        g = samples[:, :, 0]
+        if depth < 8:
+            g = g.astype(np.int64) * (255 // ((1 << depth) - 1))
+        rgb = np.repeat(g[:, :, None], 3, axis=2)
+    else:  # ctype == 3
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE")
+        idx = samples[:, :, 0]
+        if int(idx.max()) >= len(plte):
+            raise ValueError("PNG palette index out of range")
+        rgb = plte[idx]
+    return np.ascontiguousarray(rgb.astype(np.uint8))
+
+
+def png_features(payload: bytes) -> np.ndarray:
+    """Real image features from a decoded PNG — the same
+    ``_rgb_features`` recipe as the BMP path, so the two formats
+    produce identical features for identical pixels (tested)."""
+    return _rgb_features(decode_png(payload))
 
 
 def resize_image(pixels: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
@@ -224,8 +389,8 @@ def audio_features(payload: bytes) -> np.ndarray:
 
 
 def sniff_kind(payload: bytes) -> str | None:
-    """Magic-byte format sniff: 'bmp' | 'wav' (stdlib decoders) |
-    'png' | 'jpeg' (decoded only when an optional codec is wired —
+    """Magic-byte format sniff: 'bmp' | 'wav' | 'png' (stdlib
+    decoders) | 'jpeg' (decoded only when an optional codec is wired —
     ``_pil_featurizer``) | None (unknown codec)."""
     if len(payload) >= 2 and payload[:2] == b"BM":
         return "bmp"
@@ -239,8 +404,9 @@ def sniff_kind(payload: bytes) -> str | None:
     return None
 
 
-#: sniffed-format -> real featurizer (both pure stdlib + numpy)
-REAL_FEATURIZERS = {"bmp": image_features, "wav": audio_features}
+#: sniffed-format -> real featurizer (all pure stdlib + numpy)
+REAL_FEATURIZERS = {"bmp": image_features, "wav": audio_features,
+                    "png": png_features}
 
 
 def fake_features(payload: bytes) -> np.ndarray:
@@ -296,9 +462,17 @@ def extract_media_features(
                 for p in payloads:
                     sniffed = sniff_kind(p)
                     if sniffed in REAL_FEATURIZERS:
-                        feats.append(REAL_FEATURIZERS[sniffed](p))
-                        kinds.append(sniffed)
-                    elif sniffed in ("png", "jpeg") and pil is not None:
+                        try:
+                            feats.append(REAL_FEATURIZERS[sniffed](p))
+                            kinds.append(sniffed)
+                            continue
+                        except ValueError:
+                            # unsupported variant (compressed BMP,
+                            # interlaced PNG, corrupt chunk, ...): a
+                            # bad payload must degrade to the fallback
+                            # featurizer, never fail the stage
+                            pass
+                    if sniffed in ("png", "jpeg") and pil is not None:
                         # optional real codec (PIL importable)
                         feats.append(pil(p))
                         kinds.append(sniffed)
@@ -327,9 +501,10 @@ def resize_images(
     out_h: int = 32,
     out_w: int = 32,
 ) -> DataFrame:
-    """Real image resize over a binary column: decode BMP payloads,
-    nearest-neighbor resize to (out_h, out_w), re-encode as BMP. Non-BMP
-    payloads pass through with resized=false (the honest contract for
+    """Real image resize over a binary column: decode BMP/PNG payloads,
+    nearest-neighbor resize to (out_h, out_w), re-encode in the same
+    format. Other payloads (and undecodable variants, e.g. interlaced
+    PNG) pass through with resized=false (the honest contract for
     codecs this container can't decode). Runs in the scan partitions;
     output bytes are bounded by out_h*out_w*3 per row."""
     src = df.select(
@@ -338,18 +513,25 @@ def resize_images(
     )
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        codecs = {"bmp": (decode_bmp, encode_bmp),
+                  "png": (decode_png, encode_png)}
         for pdf in batches:
             ids, outs, ok = [], [], []
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
                 p = bytes(p) if p is not None else b""
                 ids.append(mid)
-                if sniff_kind(p) == "bmp":
-                    outs.append(encode_bmp(
-                        resize_image(decode_bmp(p), out_h, out_w)))
-                    ok.append(True)
-                else:
-                    outs.append(p)
-                    ok.append(False)
+                codec = codecs.get(sniff_kind(p))
+                if codec is not None:
+                    try:
+                        dec, enc = codec
+                        outs.append(enc(
+                            resize_image(dec(p), out_h, out_w)))
+                        ok.append(True)
+                        continue
+                    except ValueError:
+                        pass  # unsupported variant: pass through
+                outs.append(p)
+                ok.append(False)
             yield pd.DataFrame(
                 {"media_id": ids, "payload": outs, "resized": ok})
 

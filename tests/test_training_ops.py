@@ -249,29 +249,6 @@ def test_sample_frames_shapes(spark):
     assert (frames["frame"].map(len) <= 128).all()
 
 
-def _encode_png(pixels):
-    """Minimal lossless RGB PNG encoder (stdlib zlib + struct) — test
-    fixture so the optional-PIL path has a REAL payload to decode
-    without shipping image libraries."""
-    import struct
-    import zlib
-
-    import numpy as np
-
-    h, w, _ = pixels.shape
-
-    def chunk(tag, data):
-        c = struct.pack(">I", len(data)) + tag + data
-        return c + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
-
-    raw = b"".join(
-        b"\x00" + pixels[y].astype(np.uint8).tobytes() for y in range(h))
-    return (b"\x89PNG\r\n\x1a\n"
-            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
-            + chunk(b"IDAT", zlib.compress(raw))
-            + chunk(b"IEND", b""))
-
-
 def _test_pixels():
     import numpy as np
 
@@ -279,46 +256,161 @@ def _test_pixels():
     return rng.randint(0, 256, (12, 17, 3)).astype(np.uint8)
 
 
+def _png_with_filters(pixels, filter_types):
+    """RGB8 PNG encoder applying a chosen PNG filter type per scanline
+    (forward-filtering per the spec) — exercises the decoder's
+    unfilter paths, which ``encode_png`` (always filter 0) cannot."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w, _ = pixels.shape
+    raw = pixels.astype(np.int64)
+    out = []
+    prior = np.zeros(w * 3, np.int64)
+    for y in range(h):
+        line = raw[y].reshape(-1)
+        f = filter_types[y % len(filter_types)]
+        if f == 0:
+            filt = line
+        elif f == 1:  # Sub
+            left = np.concatenate([np.zeros(3, np.int64), line[:-3]])
+            filt = (line - left) % 256
+        elif f == 2:  # Up
+            filt = (line - prior) % 256
+        elif f == 3:  # Average
+            left = np.concatenate([np.zeros(3, np.int64), line[:-3]])
+            filt = (line - (left + prior) // 2) % 256
+        else:  # Paeth
+            left = np.concatenate([np.zeros(3, np.int64), line[:-3]])
+            ul = np.concatenate([np.zeros(3, np.int64), prior[:-3]])
+            p = left + prior - ul
+            pa, pb, pc = (np.abs(p - left), np.abs(p - prior),
+                          np.abs(p - ul))
+            pred = np.where((pa <= pb) & (pa <= pc), left,
+                            np.where(pb <= pc, prior, ul))
+            filt = (line - pred) % 256
+        out.append(bytes([f]) + filt.astype(np.uint8).tobytes())
+        prior = line
+    return (b"\x89PNG\r\n\x1a\n"
+            + multimodal._png_chunk(
+                b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+            + multimodal._png_chunk(b"IDAT", zlib.compress(b"".join(out)))
+            + multimodal._png_chunk(b"IEND", b""))
+
+
 def test_png_jpeg_sniffing():
     from qfspark import multimodal
 
-    assert multimodal.sniff_kind(_encode_png(_test_pixels())) == "png"
+    assert multimodal.sniff_kind(
+        multimodal.encode_png(_test_pixels())) == "png"
     assert multimodal.sniff_kind(b"\xff\xd8\xff\xe0rest") == "jpeg"
     assert multimodal.sniff_kind(b"\x89PNGxx") is None  # bad magic tail
 
 
-def test_png_without_pil_falls_back_deterministically(spark):
-    """No PIL in this container: PNG payloads take the fake-featurizer
-    path with the caller's declared kind — the pre-round-5 contract,
-    unchanged."""
-    import sys
-
-    from qfspark import multimodal
-
-    if "PIL" in sys.modules or multimodal._pil_featurizer() is not None:
-        pytest.skip("PIL importable here; fallback path not reachable")
-    png = _encode_png(_test_pixels())
-    df = spark.createDataFrame([("p1", bytearray(png))],
-                               "media_id string, payload binary")
-    row = multimodal.extract_media_features(
-        df, "media_id", "payload", kind="image").collect()[0]
-    assert row.kind == "image"  # declared kind, not sniffed
+def test_png_roundtrip_and_filters():
+    """Stdlib decode_png: encode/decode identity, and every PNG filter
+    type (Sub/Up/Average/Paeth, alone and mixed) reconstructs the
+    original pixels exactly."""
     import numpy as np
-    assert np.allclose(row.features,
-                       multimodal.fake_features(png).tolist())
+
+    px = _test_pixels()
+    assert (multimodal.decode_png(multimodal.encode_png(px)) == px).all()
+    for filters in ([1], [2], [3], [4], [0, 1, 2, 3, 4]):
+        got = multimodal.decode_png(_png_with_filters(px, filters))
+        assert (got == px).all(), filters
+    # odd sizes incl. single-pixel and single-column
+    rng = np.random.RandomState(9)
+    for w, h in [(1, 1), (1, 7), (5, 1), (3, 2)]:
+        p2 = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+        assert (multimodal.decode_png(
+            _png_with_filters(p2, [4])) == p2).all(), (w, h)
 
 
-def test_png_with_pil_matches_bmp_features(spark):
-    """With PIL importable the PNG path must produce EXACTLY the BMP
-    path's features for the same pixels (shared _rgb_features recipe;
-    PNG is lossless). Skipped where PIL is absent."""
-    pytest.importorskip("PIL")
+def test_png_color_types_and_depths():
+    """Grayscale (incl. 1/2/4/16-bit), palette, gray+alpha and RGBA
+    payloads all decode to the expected RGB pixels."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    def make(w, h, depth, ctype, scanlines, plte=None):
+        chunks = (b"\x89PNG\r\n\x1a\n" + multimodal._png_chunk(
+            b"IHDR", struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, 0)))
+        if plte is not None:
+            chunks += multimodal._png_chunk(b"PLTE", plte)
+        raw = b"".join(b"\x00" + s for s in scanlines)
+        return (chunks
+                + multimodal._png_chunk(b"IDAT", zlib.compress(raw))
+                + multimodal._png_chunk(b"IEND", b""))
+
+    # 8-bit grayscale: value replicated across RGB
+    g = make(3, 1, 8, 0, [bytes([0, 128, 255])])
+    assert (multimodal.decode_png(g) == np.array(
+        [[[0] * 3, [128] * 3, [255] * 3]], np.uint8)).all()
+    # 1-bit grayscale: packed bits, scaled to 0/255
+    g1 = make(3, 1, 1, 0, [bytes([0b10100000])])
+    assert (multimodal.decode_png(g1)[0, :, 0] ==
+            np.array([255, 0, 255])).all()
+    # 4-bit grayscale: two samples per byte, scaled by 17
+    g4 = make(3, 1, 4, 0, [bytes([0x5A, 0xF0])])
+    assert (multimodal.decode_png(g4)[0, :, 0] ==
+            np.array([5 * 17, 10 * 17, 15 * 17])).all()
+    # 16-bit grayscale: high byte
+    g16 = make(2, 1, 16, 0, [bytes([0xAB, 0xCD, 0x01, 0x02])])
+    assert (multimodal.decode_png(g16)[0, :, 0] ==
+            np.array([0xAB, 0x01])).all()
+    # 2-bit palette
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 7, 8, 9])
+    p2 = make(4, 1, 2, 3, [bytes([0b00011011])], plte=plte)
+    assert (multimodal.decode_png(p2)[0] == np.array(
+        [[255, 0, 0], [0, 255, 0], [0, 0, 255], [7, 8, 9]])).all()
+    # gray+alpha (alpha dropped) and RGBA (alpha dropped)
+    ga = make(2, 1, 8, 4, [bytes([100, 7, 200, 9])])
+    assert (multimodal.decode_png(ga)[0, :, 1] ==
+            np.array([100, 200])).all()
+    rgba = make(1, 2, 8, 6, [bytes([1, 2, 3, 4]), bytes([5, 6, 7, 8])])
+    assert (multimodal.decode_png(rgba).reshape(-1) ==
+            np.array([1, 2, 3, 5, 6, 7])).all()
+
+
+def test_png_rejects_corrupt_and_interlaced():
+    import struct
+    import zlib
+
+    png = multimodal.encode_png(_test_pixels())
+    with pytest.raises(ValueError):
+        multimodal.decode_png(b"<html>not an image</html>")
+    with pytest.raises(ValueError):  # truncated
+        multimodal.decode_png(png[: len(png) // 2])
+    corrupt = bytearray(png)
+    corrupt[40] ^= 0xFF  # flip an IDAT byte: CRC must catch it
+    with pytest.raises(ValueError):
+        multimodal.decode_png(bytes(corrupt))
+    # Adam7 interlaced: honest unsupported error, not a wrong decode
+    px = _test_pixels()
+    h, w = px.shape[:2]
+    interlaced = (b"\x89PNG\r\n\x1a\n" + multimodal._png_chunk(
+        b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1))
+        + multimodal._png_chunk(b"IDAT", zlib.compress(b"\x00" * 100))
+        + multimodal._png_chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="interlaced"):
+        multimodal.decode_png(interlaced)
+
+
+def test_png_matches_bmp_features(spark):
+    """The stdlib PNG path must produce EXACTLY the BMP path's features
+    for the same pixels (shared _rgb_features recipe; PNG is lossless).
+    Round-5 gated this on PIL; round 6's stdlib decoder runs it in
+    every CI environment."""
     import numpy as np
 
     from qfspark import multimodal
 
     pixels = _test_pixels()
-    png = _encode_png(pixels)
+    png = multimodal.encode_png(pixels)
     bmp = multimodal.encode_bmp(pixels)
     df = spark.createDataFrame(
         [("png1", bytearray(png)), ("bmp1", bytearray(bmp))],
@@ -329,6 +421,33 @@ def test_png_with_pil_matches_bmp_features(spark):
     assert rows["bmp1"].kind == "bmp"
     assert np.allclose(rows["png1"].features, rows["bmp1"].features,
                        atol=1e-5)
+
+
+def test_png_unsupported_variant_falls_back_deterministically(spark):
+    """An undecodable PNG variant (Adam7 interlace) must degrade to the
+    deterministic byte featurizer with the caller's declared kind —
+    never fail the stage."""
+    import struct
+    import sys
+    import zlib
+
+    import numpy as np
+
+    from qfspark import multimodal
+
+    if "PIL" in sys.modules or multimodal._pil_featurizer() is not None:
+        pytest.skip("PIL importable here; fallback path not reachable")
+    interlaced = (b"\x89PNG\r\n\x1a\n" + multimodal._png_chunk(
+        b"IHDR", struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 1))
+        + multimodal._png_chunk(b"IDAT", zlib.compress(b"\x00" * 52))
+        + multimodal._png_chunk(b"IEND", b""))
+    df = spark.createDataFrame([("p1", bytearray(interlaced))],
+                               "media_id string, payload binary")
+    row = multimodal.extract_media_features(
+        df, "media_id", "payload", kind="image").collect()[0]
+    assert row.kind == "image"  # declared kind, not sniffed
+    assert np.allclose(row.features,
+                       multimodal.fake_features(interlaced).tolist())
 
 
 def test_media_decoder_probe_never_raises(monkeypatch):
@@ -463,15 +582,19 @@ def test_resize_images_spark(spark):
     px[:4] = (255, 0, 0)   # top half red
     px[4:] = (0, 0, 255)   # bottom half blue
     df = spark.createDataFrame(
-        [("a", multimodal.encode_bmp(px)), ("b", b"not-bmp")],
+        [("a", multimodal.encode_bmp(px)),
+         ("p", multimodal.encode_png(px)), ("b", b"not-bmp")],
         "media_id string, payload binary")
     out = {r.media_id: r for r in multimodal.resize_images(
         df, "media_id", "payload", 2, 2).collect()}
-    assert out["a"].resized and not out["b"].resized
+    assert out["a"].resized and out["p"].resized and not out["b"].resized
     small = multimodal.decode_bmp(bytes(out["a"].payload))
     assert small.shape == (2, 2, 3)
     assert tuple(small[0, 0]) == (255, 0, 0)   # top row stayed on top
     assert tuple(small[1, 0]) == (0, 0, 255)
+    # PNG resize round-trips through the PNG codec and matches the BMP
+    small_p = multimodal.decode_png(bytes(out["p"].payload))
+    assert (small_p == small).all()
 
 
 # ---------------------------------------------------------------------------
