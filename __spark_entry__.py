@@ -440,25 +440,49 @@ def _q_hll_by_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Priority sampling (Duffield-Lund-Thorup): a weight-sensitive
-    128-document sample by byte size with unbiased subset-sum
-    estimates (est_weight = max(w, tau)); the sample AND the estimates
-    are deterministic (hash-derived priorities), so the oracle
-    reproduces them value-exactly."""
+    """Priority sampling (Duffield-Lund-Thorup), global AND grouped in
+    one entry (round-6 consolidation — frees a driver slot while both
+    operators keep a driver row): grp='_all' rows are the weight-
+    sensitive 128-document sample by byte size; per-language rows are
+    the grouped 32-per-language sample. Samples and unbiased subset-
+    sum estimates (est_weight = max(w, tau)) are deterministic
+    (hash-derived priorities), so the oracle reproduces them
+    value-exactly."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     sk = sketches.priority_sample(docs, "doc_id", "n_chars", k=128)
-    return sketches.priority_estimates(sk, k=128)
+    global_rows = sketches.priority_estimates(sk, k=128).select(
+        F.lit("_all").alias("lang"), "key", "w", "est_weight")
+    sk_by = sketches.priority_sample_by(docs, "doc_id", "n_chars",
+                                        ["lang"], k=32)
+    by_rows = sketches.priority_estimates_by(sk_by, ["lang"], k=32)
+    return global_rows.unionByName(by_rows)
 
 
-def _q_priority_sample_by_lang(spark: SparkSession,
-                               sf_dir: str) -> DataFrame:
-    """Per-LANGUAGE priority sample (32 docs per language by byte
-    size) with per-group unbiased subset-sum estimates — one window
-    pass; sample and estimates value-exact vs DuckDB."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    sk = sketches.priority_sample_by(docs, "doc_id", "n_chars",
-                                     ["lang"], k=32)
-    return sketches.priority_estimates_by(sk, ["lang"], k=32)
+def _sessionize_oracle() -> str:
+    from qfspark.sessions import duckdb_sessionize_sql
+
+    return duckdb_sessionize_sql("ts", "user_id", 30, "events")
+
+
+def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization of the events stream (30-minute gap):
+    native session_window aggregation — map-side partial session
+    merging, one shuffle keyed by user — vs the classic
+    gaps-and-islands oracle, value-exact per (user, session) row.
+    Timestamps are formatted as microsecond wall-clock strings —
+    TIMESTAMP_NTZ has no instant, so this is timezone-free on both
+    engines (date_format vs strftime, verified character-identical)."""
+    from qfspark.sessions import sessionize
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    s = sessionize(ev, "ts", "user_id", "30 minutes")
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return s.select(
+        "key",
+        F.date_format("session_start", fmt).alias("session_start_s"),
+        F.date_format("session_end", fmt).alias("session_end_s"),
+        "n_events",
+    )
 
 
 def _q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -637,8 +661,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 "k", "v", ["lang"], k=128),
             ["lang"], _SKETCH_QS),
         # weight-sensitive document sampling with unbiased subset sums
+        # (global '_all' rows + per-language rows in one entry)
         "priority_sample": _q_priority_sample,
-        "priority_sample_by_lang": _q_priority_sample_by_lang,
+        # gap-based event-time sessionization (native session_window)
+        "sessionize": _q_sessionize,
         "heavy_hitters": _q_heavy_hitters,
         # grouped Misra-Gries: per-language heavy-hitter domains over
         # the duplicated crawl in ONE pass (mg_summary_by)
@@ -925,10 +951,24 @@ def oracle_sql() -> dict[str, str]:
                 "(SELECT url FROM wp WHERE CAST(regexp_extract(url, "
                 "'([0-9]+)$', 1) AS BIGINT) % 2 = 0)")}
         """,
-        "priority_sample": sketches.duckdb_priority_sample_sql(
-            "doc_id", "n_chars", 128, "documents"),
-        "priority_sample_by_lang": sketches.duckdb_priority_sample_by_sql(
-            "doc_id", "n_chars", ["lang"], 32, "documents"),
+        "priority_sample": f"""
+            SELECT '_all' AS lang, * FROM (
+                {sketches.duckdb_priority_sample_sql(
+                    "doc_id", "n_chars", 128, "documents")})
+            UNION ALL
+            SELECT * FROM (
+                {sketches.duckdb_priority_sample_by_sql(
+                    "doc_id", "n_chars", ["lang"], 32, "documents")})
+        """,
+        "sessionize": f"""
+            SELECT key,
+                   strftime(session_start, '%Y-%m-%d %H:%M:%S.%f')
+                       AS session_start_s,
+                   strftime(session_end, '%Y-%m-%d %H:%M:%S.%f')
+                       AS session_end_s,
+                   n_events
+            FROM ({_sessionize_oracle()})
+        """,
         "heavy_hitters":
             sketches.duckdb_mg_heavy_sql("user_id", 128, "events"),
         "heavy_hitters_by_lang": sketches.duckdb_mg_heavy_by_sql(

@@ -432,7 +432,7 @@ def main() -> None:
         "bloom_url_membership", "bottomk_quantiles",
         "heavy_hitters", "heavy_hitters_by_lang", "priority_sample",
         "hll_url_set_ops", "kmv_url_set_ops", "kmv_set_ops_by_lang",
-        "hll_by_hour", "quantiles_by_lang",
+        "hll_by_hour", "quantiles_by_lang", "sessionize",
         # kll_quantile_bounds now carries both the global and the
         # per-lang KLL gate (round-6 entry consolidation)
         "kll_quantile_bounds", "countmin_by_lang",

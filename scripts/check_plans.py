@@ -224,6 +224,21 @@ def main():
     check("KMV bottom-k is TakeOrdered", p11c,
           r"TakeOrderedAndProject")
 
+    # 11h. sessionization (round 6): native SessionWindow aggregate
+    # with MAP-SIDE partial session merging — the shuffle carries
+    # merged (start, end, count) partials keyed by user, not raw
+    # events — and zero Python anywhere
+    from qfspark.sessions import sessionize
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    p11h = plan_of(sessionize(ev, "ts", "user_id", "30 minutes"))
+    check("sessionize is a session-window agg", p11h,
+          r"session_window", flags=re.I)
+    check("sessionize merges sessions map-side", p11h,
+          r"partial_count|partial")
+    check("sessionize has no python", p11h, r"EvalPython",
+          must_exist=False)
+
     # 12. URL canonicalization stays in whole-stage codegen
     from qfspark import urls
 
