@@ -28,7 +28,7 @@ matching ``session_window.end``.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def sessionize(
@@ -75,12 +75,96 @@ def session_stats(df: DataFrame, ts_col: str, key_col: str,
             F.count(F.lit(1)).alias("n_sessions"),
             F.sum("n_events").alias("n_events"),
             F.max("n_events").alias("max_session_events"),
+            # timestamp_diff, not a long cast: TIMESTAMP_NTZ (the
+            # events table's type) cannot cast to bigint in Spark 4
             F.sum(
-                F.col("session_end").cast("long")
-                - F.col("session_start").cast("long")
+                F.timestamp_diff("SECOND", F.col("session_start"),
+                                 F.col("session_end"))
             ).alias("total_session_secs"),
         )
     )
+
+
+def assign_sessions(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    gap: str = "30 minutes",
+    session_col: str = "session_id",
+) -> DataFrame:
+    """Tag every EVENT row with its session ordinal (1-based per key) —
+    the row-level complement of ``sessionize``'s aggregate view, for
+    pipelines that need per-event session labels (session-scoped
+    features, per-session caps). Same pinned boundary: an event exactly
+    ``gap`` after the previous one MERGES (the break test is strictly
+    ``>``), so labels agree with ``session_window``'s grouping.
+
+    Plan: two native window functions (LAG + running SUM) over ONE
+    shuffle keyed by ``key_col`` with a per-key sort — no Python. At
+    10^12 events this is the same shape as any per-user window pass;
+    a single bot user's events concentrate on one task (the sort is
+    spillable), and upstream rate capping bounds that key."""
+    w = Window.partitionBy(key_col).orderBy(ts_col)
+    prev = F.lag(ts_col).over(w)
+    new_s = F.when(
+        prev.isNull()
+        | ((F.col(ts_col) - prev) > F.expr(f"INTERVAL {gap}")),
+        1,
+    ).otherwise(0)
+    return (
+        df.where(F.col(ts_col).isNotNull() & F.col(key_col).isNotNull())
+        .withColumn(
+            session_col,
+            F.sum(new_s).over(
+                w.rowsBetween(Window.unboundedPreceding,
+                              Window.currentRow)),
+        )
+    )
+
+
+def cap_sessions(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    gap: str = "30 minutes",
+    max_events: int = 100,
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Keep at most ``max_events`` events per (key, session) — the
+    per-session dominance cap a training-data pipeline applies so one
+    bot user / crawler burst cannot flood the corpus. Earliest events
+    win; ``tiebreak_cols`` (e.g. an event id) make the kept set
+    deterministic when timestamps collide. One more window function on
+    top of ``assign_sessions`` — same single shuffle, no Python."""
+    s = assign_sessions(df, ts_col, key_col, gap)
+    order = [F.col(ts_col)] + [F.col(c) for c in (tiebreak_cols or [])]
+    w = Window.partitionBy(key_col, "session_id").orderBy(*order)
+    return (
+        s.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= max_events)
+        .drop("_rn", "session_id")
+    )
+
+
+def duckdb_assign_sessions_sql(ts_col: str, key_col: str,
+                               gap_minutes: int, source: str) -> str:
+    """Gaps-and-islands twin of ``assign_sessions``: per-event
+    (key, ts, session_id) with the same strictly-``> gap`` break."""
+    return f"""
+        SELECT CAST({key_col} AS VARCHAR) AS key, {ts_col} AS ts,
+               SUM(new_s) OVER (PARTITION BY {key_col} ORDER BY {ts_col}
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM (
+            SELECT {key_col}, {ts_col},
+                   CASE WHEN LAG({ts_col}) OVER w IS NULL
+                             OR {ts_col} - LAG({ts_col}) OVER w
+                                > INTERVAL '{gap_minutes} minutes'
+                        THEN 1 ELSE 0 END AS new_s
+            FROM {source}
+            WHERE {key_col} IS NOT NULL AND {ts_col} IS NOT NULL
+            WINDOW w AS (PARTITION BY {key_col} ORDER BY {ts_col})
+        )
+    """
 
 
 def duckdb_sessionize_sql(ts_col: str, key_col: str, gap_minutes: int,

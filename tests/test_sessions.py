@@ -14,6 +14,9 @@ import pytest
 from pyspark.sql import functions as F
 
 from qfspark.sessions import (
+    assign_sessions,
+    cap_sessions,
+    duckdb_assign_sessions_sql,
     duckdb_sessionize_sql,
     session_stats,
     sessionize,
@@ -87,6 +90,67 @@ def test_session_stats(spark):
     # session secs: (1min span + 5min gap) + (0 span + 5min gap)
     assert rows["a"].total_session_secs == 6 * 60 + 5 * 60
     assert rows["b"].n_sessions == 1
+
+
+def test_session_stats_on_ntz_events(spark):
+    """Regression: the events table's ts is TIMESTAMP_NTZ, which cannot
+    cast to bigint in Spark 4 — session_stats must still compute
+    durations (timestamp_diff path)."""
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    row = session_stats(ev, "ts", "user_id", "30 minutes").first()
+    assert row.total_session_secs >= 30 * 60 * row.n_sessions
+
+
+def test_assign_sessions_agrees_with_sessionize(spark):
+    """Per-event labels aggregate to exactly sessionize's rows —
+    boundary semantics included (same strictly-> break)."""
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    lab = assign_sessions(ev, "ts", "user_id", "30 minutes")
+    agg = {(str(r.user_id), r.session_start, r.n_events)
+           for r in lab.groupBy("user_id", "session_id")
+           .agg(F.min("ts").alias("session_start"),
+                F.count(F.lit(1)).alias("n_events")).collect()}
+    want = {(r.key, r.session_start, r.n_events)
+            for r in sessionize(ev, "ts", "user_id",
+                                "30 minutes").collect()}
+    assert agg == want and agg
+
+
+def test_assign_sessions_matches_duckdb(spark):
+    path = f"{SF_DIR}/events.parquet"
+    ev = spark.read.parquet(path)
+    got = sorted(
+        (str(r.user_id), r.ts, int(r.session_id))
+        for r in assign_sessions(ev, "ts", "user_id", "30 minutes")
+        .select("user_id", "ts", "session_id").collect())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{path}')")
+    want = sorted(
+        (k, t, int(s)) for k, t, s in con.sql(
+            duckdb_assign_sessions_sql("ts", "user_id", 30, "events"))
+        .fetchall())
+    assert got == want and got
+
+
+def test_cap_sessions(spark):
+    """Cap keeps the EARLIEST max_events of each session, with a
+    deterministic tiebreak, and never invents rows."""
+    rows = [("a", _ts(0), 1), ("a", _ts(1), 2), ("a", _ts(2), 3),
+            ("a", _ts(2), 4),            # ts tie -> event id breaks it
+            ("a", _ts(30), 5),           # new session
+            ("b", _ts(0), 6)]
+    df = spark.createDataFrame(rows, "user string, ts timestamp, eid int")
+    kept = cap_sessions(df, "ts", "user", "5 minutes", max_events=3,
+                        tiebreak_cols=["eid"])
+    assert set(kept.columns) == {"user", "ts", "eid"}
+    got = sorted(r.eid for r in kept.collect())
+    # session 1 of 'a' keeps eids 1,2,3 (eid 4 ties on ts but loses);
+    # session 2 of 'a' and b's singleton are under the cap
+    assert got == [1, 2, 3, 5, 6]
+    per_sess = (assign_sessions(df, "ts", "user", "5 minutes")
+                .groupBy("user", "session_id").count().collect())
+    assert max(r["count"] for r in per_sess) == 4  # uncapped view
 
 
 def test_streaming_sessions_match_batch(spark):
