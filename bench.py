@@ -102,6 +102,12 @@ MAX_WINDOWS = int(os.environ.get("SPARK_GRAFT_SCALE_MAX_WINDOWS",
 # ratio speaks to the job's scaling — reject and re-run, exactly like
 # the raw-efficiency pathology bounds
 HW_EFF_MIN = float(os.environ.get("SPARK_GRAFT_SCALE_HW_EFF_MIN", "0.6"))
+# settle between the PRE-controls and the job pair: the control is a
+# memory-bus-saturating workload and its shadow (perturbed caches/bus)
+# would otherwise land on the first job trial (round-4 measured that an
+# adjacent control biases the next job's time)
+CONTROL_SETTLE_S = int(os.environ.get("SPARK_GRAFT_SCALE_CONTROL_SETTLE",
+                                      "20"))
 # settle time before the first scaling window (post-heavy-JVM noise)
 SCALE_COOLDOWN_S = int(os.environ.get("SPARK_GRAFT_SCALE_COOLDOWN", "90"))
 # per-query trials (median reported, trial lists recorded): single-shot
@@ -271,22 +277,29 @@ def _scaling_evidence() -> dict:
     driver window — BENCH_r03's local[8] median came out SLOWER than its
     local[2] median, which is not physics for this job).
 
-    One WINDOW = job@lo, job@hi run back-to-back, then hw-control@lo,
-    hw-control@hi (jobs FIRST — the control is itself a memory-bus-
-    saturating workload, and interleaving it between the job trials
-    leaves a perturbed memory system under the second job; measured
-    bias ~-0.15..-0.25 raw), so each job pair has an adjacent hardware
-    control pair taken under the SAME system conditions. Per window we get a
-    raw efficiency and a control-normalized efficiency; system noise that
-    slows one window slows its control identically and cancels in the
-    ratio. A window is flagged pathological — recorded, excluded, and
-    replaced by an extra window, up to MAX_WINDOWS attempts — when (a)
-    its raw efficiency falls outside [0.25, 2.0] (an external load
-    burst on the hi or lo trial respectively; neither is physics for
-    this job), or (b) ROUND-6: its own hardware ceiling control failed
-    to scale (hw_eff < HW_EFF_MIN), which marks the whole window as
-    taken on a contended box. The verdict statistic is the MEDIAN over
-    >= CLEAN_WINDOWS clean windows."""
+    One WINDOW = hw-controls@(lo,hi), settle, job@lo, job@hi
+    back-to-back, then hw-controls@(lo,hi) again — the job pair is
+    SANDWICHED between two control pairs. Controls never run between
+    the two job trials (the control is itself a memory-bus-saturating
+    workload; interleaving it leaves a perturbed memory system under
+    the second job, measured bias ~-0.15..-0.25 raw), and a settle
+    sleep separates the pre-controls from the first job for the same
+    reason. Per window we get a raw efficiency and a control-normalized
+    efficiency (normalizer = geometric mean of the two bracketing
+    control efficiencies); system noise that slows one window slows its
+    controls identically and cancels in the ratio. A window is flagged
+    pathological — recorded, excluded, and replaced by an extra window,
+    up to MAX_WINDOWS attempts — when (a) its raw efficiency falls
+    outside [0.25, 2.0] (an external load burst on the hi or lo trial
+    respectively; neither is physics for this job), or (b) ROUND-6:
+    EITHER bracketing hardware control failed to scale
+    (min(hw_eff_pre, hw_eff_post) < HW_EFF_MIN), which marks the whole
+    window as taken on a contended box. Both brackets must pass: a
+    post-only control misses a burst that ends between the jobs and the
+    control (observed round 6: one window measured control 0.75 / job
+    raw 0.38 while its nine siblings' controls sat at 0.06-0.37 — the
+    burst outlived the jobs but not the post-control). The verdict
+    statistic is the MEDIAN over >= CLEAN_WINDOWS clean windows."""
     lo, hi = SCALE_LEVELS
     # settle: whatever ran before bench.py (driver correctness JVMs,
     # pytest) may have just exited, and the box shows minutes-long
@@ -299,11 +312,15 @@ def _scaling_evidence() -> dict:
     while len([w for w in windows if not w["pathological"]]) < CLEAN_WINDOWS \
             and len(windows) < MAX_WINDOWS:
         w = {}
-        # job trials back-to-back FIRST, then the two controls: the
-        # hardware control is itself a memory-bus-saturating workload,
-        # and running it BETWEEN the job trials leaves a perturbed
-        # memory system under the second job — measured bias of
-        # ~-0.15..-0.25 raw vs control-free adjacent job pairs
+        # SANDWICH: controls before AND after the job pair, never
+        # between the two job trials (a control between them leaves a
+        # perturbed memory system under the second job — measured bias
+        # of ~-0.15..-0.25 raw vs control-free adjacent job pairs); a
+        # settle sleep keeps the pre-controls' own bus shadow off the
+        # first job
+        for c in SCALE_LEVELS:
+            w[f"hw_pre_{c}"] = round(_hw_control_once(c), 3)
+        time.sleep(CONTROL_SETTLE_S)
         for c in SCALE_LEVELS:
             r = _run_scale_subprocess(c, exchange="arrow")
             rows = r["rows"]
@@ -311,7 +328,15 @@ def _scaling_evidence() -> dict:
         for c in SCALE_LEVELS:
             w[f"hw_{c}"] = round(_hw_control_once(c), 3)
         w["raw"] = round((w[f"sec_{lo}"] / w[f"sec_{hi}"]) / (hi / lo), 3)
-        hw_eff = (w[f"hw_{hi}"] / w[f"hw_{lo}"]) / (hi / lo)
+        hw_pre = (w[f"hw_pre_{hi}"] / w[f"hw_pre_{lo}"]) / (hi / lo)
+        hw_post = (w[f"hw_{hi}"] / w[f"hw_{lo}"]) / (hi / lo)
+        w["hw_eff_pre"] = round(hw_pre, 3)
+        w["hw_eff_post"] = round(hw_post, 3)
+        # normalizer: geometric mean of the two brackets — the best
+        # available estimate of conditions DURING the jobs (which ran
+        # between them)
+        hw_eff = (hw_pre * hw_post) ** 0.5 if hw_pre > 0 and hw_post > 0 \
+            else 0.0
         w["hw_eff"] = round(hw_eff, 3)
         w["normalized"] = round(w["raw"] / hw_eff, 3) if hw_eff > 0 else None
         # SYMMETRIC pathology bounds: 4x the cores measuring <= 1x the
@@ -320,15 +345,18 @@ def _scaling_evidence() -> dict:
         # on the LO trial — neither is physics for this job (its
         # weakest clean observation across 6 round-3 windows was 1.36x
         # speedup, its strongest ~5x). THIRD cleanliness criterion
-        # (round-6 hardening): the window's own hardware control must
-        # itself scale (hw_eff >= HW_EFF_MIN) — round-5's seven window
+        # (round-6 hardening): BOTH bracketing hardware controls must
+        # themselves scale (>= HW_EFF_MIN) — round-5's seven window
         # sets showed job raw efficiency tracking control efficiency
         # directly (quiet-box controls 0.62-0.78 <-> job raw 0.9-1.1;
         # contended controls 0.49-0.6 <-> job raw 0.3-0.65), so a
         # failed control marks the whole window as taken on a
-        # contended box, same treatment as the raw bounds
+        # contended box, same treatment as the raw bounds; requiring
+        # both brackets closes the false-clean case where a burst dies
+        # between the jobs and a post-only control
         w["pathological"] = bool(
-            w["raw"] < 0.25 or w["raw"] > 2.0 or hw_eff < HW_EFF_MIN)
+            w["raw"] < 0.25 or w["raw"] > 2.0
+            or min(hw_pre, hw_post) < HW_EFF_MIN)
         windows.append(w)
 
     clean = [w for w in windows if not w["pathological"]]
@@ -361,19 +389,28 @@ def _scaling_evidence() -> dict:
         "pathological_windows": len(windows) - len(clean),
         "passes": bool(med_raw >= 0.8 or med_norm >= 1.0),
         "target": 0.8,
+        "evidence_quality": (
+            "clean" if len(clean) >= CLEAN_WINDOWS else
+            "partial" if clean else
+            "degraded: every window pathological (box contended for "
+            "the whole run; statistics below are over all windows — "
+            "the normalized ratio is the meaningful one)"),
         "exchange": "arrow",
         "protocol": "scaling runs FIRST, before the query phase heats "
                     "the box; fresh ActiveProcessorCount-bounded JVM "
                     "per trial, trial sec = min of 2 timed builds "
                     "after an untimed warmup (contention only adds "
-                    "time); window = (job@lo, job@hi, hw@lo, hw@hi) — "
-                    "job pair adjacent, controls after (a control "
-                    "between the jobs perturbs the second job's "
-                    "memory system); windows rejected+rerun when "
-                    "raw<0.25 or raw>2.0 (load burst on one trial) or "
-                    f"hw_eff<{HW_EFF_MIN} (the window's own ceiling "
+                    "time); window = (hw@lo, hw@hi, settle "
+                    f"{CONTROL_SETTLE_S}s, job@lo, job@hi, hw@lo, "
+                    "hw@hi) — job pair adjacent, SANDWICHED between "
+                    "control pairs (controls between the jobs perturb "
+                    "the second job's memory system; a post-only "
+                    "control misses bursts that die before it); "
+                    "windows rejected+rerun when raw<0.25 or raw>2.0 "
+                    "(load burst on one trial) or min(hw_eff_pre, "
+                    f"hw_eff_post)<{HW_EFF_MIN} (a bracketing ceiling "
                     "control failed to scale => box contended during "
-                    "the window); "
+                    "the window); normalizer = gmean(pre, post); "
                     f"median over >= {CLEAN_WINDOWS} clean windows; "
                     f"{SCALE_COOLDOWN_S}s cooldown before first window",
     }
