@@ -271,6 +271,21 @@ def _run_scale_subprocess(cores: int, exchange: str = "storage") -> dict:
     raise RuntimeError(f"scale run at {cores} cores failed:\n{out.stderr[-2000:]}")
 
 
+def window_is_pathological(raw: float, hw_eff_pre: float,
+                           hw_eff_post: float,
+                           hw_eff_min: float = HW_EFF_MIN) -> bool:
+    """Pure cleanliness predicate for one scaling window (unit-tested in
+    tests/test_bench_protocol.py): pathological when the raw efficiency
+    falls outside the symmetric physics bounds [0.25, 2.0] (a load burst
+    landed on the hi or lo job trial respectively), or when EITHER
+    bracketing hardware-ceiling control failed to scale — a post-only
+    control misses a burst that dies between the jobs and the control
+    (observed round 6: control 0.75 / job raw 0.38 while sibling
+    windows' controls sat at 0.06-0.37)."""
+    return bool(raw < 0.25 or raw > 2.0
+                or min(hw_eff_pre, hw_eff_post) < hw_eff_min)
+
+
 def _scaling_evidence() -> dict:
     """Windowed paired-trial protocol (round-4 hardening of the r1-r3
     interleaved-median design, which could not survive a single contended
@@ -354,9 +369,8 @@ def _scaling_evidence() -> dict:
         # contended box, same treatment as the raw bounds; requiring
         # both brackets closes the false-clean case where a burst dies
         # between the jobs and a post-only control
-        w["pathological"] = bool(
-            w["raw"] < 0.25 or w["raw"] > 2.0
-            or min(hw_pre, hw_post) < HW_EFF_MIN)
+        w["pathological"] = window_is_pathological(
+            w["raw"], hw_pre, hw_post)
         windows.append(w)
 
     clean = [w for w in windows if not w["pathological"]]
