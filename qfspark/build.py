@@ -663,6 +663,71 @@ def latest_shards(shards_df: DataFrame) -> DataFrame:
             .where(F.col("_rn") == 1).drop("_rn"))
 
 
+def merge_shard_tables(
+    spark: SparkSession,
+    tables: list[DataFrame],
+    payload_dir: str | None = None,
+    checkpoint_path: str | None = None,
+) -> DataFrame:
+    """Merge N checkpointed shard tables (e.g. two crawl snapshots'
+    filters) into ONE shard table — without touching either original
+    key stream. Counters ADD (multiset-union semantics, same as the
+    kernel's ``QF.merge_many`` / the CLI's file ``merge``), and because
+    the canonical layout is a pure function of the merged
+    (hash -> count) map, the output payloads are byte-identical to a
+    direct sharded build over the concatenated corpora (tested).
+
+    Distributed shape: shard tables are O(shards) rows, so the only
+    data movement is one groupBy("shard") shuffle of the payload blobs
+    themselves (~total filter size); each shard's merge is one task
+    decoding <= len(tables) filters — no raw keys anywhere. At
+    10^12-row provenance this is the cheap path: re-building would
+    re-scan both corpora; merging moves only the filters. Sidecar
+    payloads (``payload_path``) are read executor-side, so the sidecar
+    directory must be shared storage on a real cluster (it is on this
+    single box).
+
+    Inputs must agree on (shard_bits, hash_name, counter_bits) —
+    validated on the tiny lineage projection before any payload moves;
+    per-shard q_bits may differ (a snapshot that saw more keys in a
+    shard simply merged at a larger q). Stale duplicate rows per shard
+    are resolved by ``latest_shards`` per input first.
+    """
+    if not tables:
+        raise ValueError("merge_shard_tables needs at least one table")
+    allr = latest_shards(tables[0])
+    for t in tables[1:]:
+        allr = allr.unionByName(latest_shards(t),
+                                allowMissingColumns=True)
+    meta = (allr.select("shard_bits", "hash_name", "counter_bits")
+            .distinct().collect())
+    for fld in ("shard_bits", "hash_name", "counter_bits"):
+        vals = {getattr(m, fld) for m in meta}
+        if len(vals) > 1:
+            raise ValueError(
+                f"cannot merge shard tables with differing {fld}: "
+                f"{sorted(map(str, vals))}")
+
+    def _merge_group(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        t0 = time.time()
+        qfs = [qf_from_bytes(shard_payload_bytes(row))
+               for _, row in pdf.iterrows()]
+        merged = QF.merge_many(qfs)
+        out = _finish_shard(
+            merged, int(pdf["shard"].iloc[0]), int(pdf["n_rows"].sum()),
+            merged.config, int(pdf["shard_bits"].iloc[0]),
+            payload_dir, t0)
+        return pd.DataFrame([out])
+
+    out = allr.groupBy("shard").applyInPandas(_merge_group, _SHARD_SCHEMA)
+    if checkpoint_path:
+        from .sources import read_table, write_checkpoint
+
+        write_checkpoint(out, checkpoint_path, mode="overwrite")
+        return latest_shards(read_table(spark, checkpoint_path))
+    return out
+
+
 # -- exchange: 'arrow' (fat collect_list rows through the channel) ----------
 
 def _exchange_arrow(hashed: DataFrame, sb: int, config: QFConfig,
