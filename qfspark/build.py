@@ -739,7 +739,6 @@ def _exchange_arrow(hashed: DataFrame, sb: int, config: QFConfig,
         routed = routed.filter(~F.col("shard").isin(list(done)))
     fat = routed.groupBy("shard").agg(F.collect_list("lh").alias("hv"))
     cfg = config
-    with_counts = cfg.counter_bits > 0
     pa_schema = _pa_shard_schema()
 
     def _build_fat(tbl: "pa.Table") -> "pa.Table":
@@ -752,12 +751,12 @@ def _exchange_arrow(hashed: DataFrame, sb: int, config: QFConfig,
                 for c in tbl.column("hv").chunks]
         hv = (np.concatenate(arrs) if len(arrs) > 1 else arrs[0]).astype(
             np.int64, copy=False).view(np.uint64)
-        if with_counts:
-            uniq, counts = np.unique(hv, return_counts=True)
-            counts = counts.astype(np.uint64)
-        else:
-            uniq, counts = np.unique(hv), None
-        qf = QF.from_hashes(uniq, counts, cfg, assume_unique=True)
+        # in-place sort + from_hashes' diff-based dedup (see the storage
+        # exchange): cheaper than np.unique under 2^sb-way concurrency
+        if not hv.flags.writeable:
+            hv = hv.copy()
+        hv.sort()
+        qf = QF.from_hashes(hv, None, cfg)
         row = _finish_shard(qf, int(shard), len(hv), cfg, sb, payload_dir,
                             t0=t0)
         return pa.Table.from_pylist([row], schema=pa_schema)
@@ -803,13 +802,21 @@ def _exchange_storage(spark: SparkSession, hashed: DataFrame, sb: int,
     routed = _routed(hashed, sb)
     if done:
         routed = routed.filter(~F.col("shard").isin(list(done)))
+    # cluster rows by shard BEFORE the dynamic-partition write: a write
+    # task holding many shard values runs the sort-based dynamic
+    # partition writer over its whole input (M tasks x 2^sb open
+    # writers/sorts), which profiled 2.5-5x slower than shuffling first
+    # so each task writes whole shards (guide §6: cluster by partition
+    # key on write). Range partitioning maps the 2^sb distinct shard ids
+    # ~1:1 onto tasks (hash partitioning would leave ~1/e of tasks empty
+    # and others with 2-3 shards — guide §2.5 synthetic-key collisions).
+    routed = routed.repartitionByRange(1 << sb, "shard")
     writer = routed.write.mode("overwrite")
     for k, v in _SPILL_WRITE_OPTS.items():
         writer = writer.option(k, v)
     writer.partitionBy("shard").parquet(spill, compression="none")
 
     cfg = config
-    with_counts = cfg.counter_bits > 0
     # enumerate shard ids executor-side (spark.range): at shard_bits=26+
     # a driver-side python list of 2^sb tuples would be GBs of RAM
     ids_df = spark.range(1 << sb).withColumnRenamed("id", "shard")
@@ -832,12 +839,14 @@ def _exchange_storage(spark: SparkSession, hashed: DataFrame, sb: int,
                     np.int64, copy=False).view(np.uint64)
                 if len(hv) == 0:
                     continue
-                if with_counts:
-                    uniq, counts = np.unique(hv, return_counts=True)
-                    counts = counts.astype(np.uint64)
-                else:
-                    uniq, counts = np.unique(hv), None
-                qf = QF.from_hashes(uniq, counts, cfg, assume_unique=True)
+                # in-place sort + from_hashes' diff-based dedup: no
+                # index arrays, no np.unique inverse/bincount — less
+                # memory traffic, which is what bounds 2^sb concurrent
+                # shard builders (this stage is bandwidth-saturated)
+                if not hv.flags.writeable:
+                    hv = hv.copy()
+                hv.sort()
+                qf = QF.from_hashes(hv, None, cfg)
                 yield pd.DataFrame(
                     [_finish_shard(qf, int(s), len(hv), cfg, sb,
                                    payload_dir, t0=t0)])

@@ -167,14 +167,33 @@ class QF:
                 if config.counter_bits > 0
                 else None
             )
+        elif len(hashes) == 0:
+            hv = hashes
+            agg = (np.zeros(0, dtype=U64) if config.counter_bits > 0
+                   else None)
         else:
-            hv, inverse = np.unique(hashes, return_inverse=True)
+            # sort once (in ascending order duplicates are adjacent),
+            # then diff-based dedup: one boolean pass + slice beats
+            # np.unique's return_inverse + bincount/add.at aggregation.
+            # Pre-sorted input (the exchange paths sort in place before
+            # calling) skips the argsort entirely.
+            if not bool((hashes[1:] >= hashes[:-1]).all()):
+                order = np.argsort(hashes, kind="stable")
+                hashes = hashes[order]
+                if counts is not None:
+                    counts = counts[order]
+            n_all = len(hashes)
+            is_first = np.empty(n_all, dtype=bool)
+            is_first[0] = True
+            np.not_equal(hashes[1:], hashes[:-1], out=is_first[1:])
+            first_idx = np.flatnonzero(is_first)
+            hv = hashes[first_idx]
             if config.counter_bits > 0:
                 if counts is None:
-                    agg = np.bincount(inverse, minlength=len(hv)).astype(U64)
+                    agg = np.diff(np.append(first_idx, n_all)).astype(U64)
                 else:
-                    agg = np.zeros(len(hv), dtype=U64)
-                    np.add.at(agg, inverse, counts)
+                    agg = np.add.reduceat(
+                        counts, first_idx).astype(U64, copy=False)
             else:
                 agg = None
 
@@ -228,24 +247,29 @@ class QF:
             np.cumsum(cd[:-1], out=Cd[1:])
             starts = (Cd + np.maximum.accumulate(qd - Cd))[m:] - size
 
-        # per-element slot positions (size is a power of two: mask == mod)
-        offs = np.arange(n, dtype=np.int64)
-        offs -= np.repeat(first_idx, run_len)
-        pos = np.repeat(starts, run_len)
-        pos += offs
+        # per-element slot positions (size is a power of two: mask == mod).
+        # pos_i = (start_j + i - first_idx_j) mod size for element i of
+        # run j: ONE repeat of the fused per-run offset (start - first)
+        # instead of separate repeats of starts and first_idx.
+        pos = np.arange(n, dtype=np.int64)
+        pos += np.repeat(starts - first_idx, run_len)
         pos &= size - 1
-        quot = np.repeat(uq, run_len)
 
         slot_vals = r << U64(3)
-        slot_vals |= (offs > 0).astype(U64) << U64(1)  # is_continuation
-        slot_vals |= (pos != quot).astype(U64) << U64(2)  # is_shifted
-        self.filter.scatter_or(pos, slot_vals)
+        # is_continuation = not the first element of its run (~is_first)
+        slot_vals |= (~is_first).astype(U64) << U64(1)
+        # is_shifted = landed off the home bucket
+        slot_vals |= (pos != np.repeat(uq, run_len)).astype(U64) << U64(2)
+        # element positions are DISTINCT (each entry owns a slot) and the
+        # home slots are distinct among themselves: both scatters take
+        # the fancy-|= unique path (values in-range by construction)
+        self.filter.scatter_or_unique(pos, slot_vals)
         # occupied bit lives at the *home* slot of each occupied quotient,
         # which may or may not coincide with an element position -> OR in.
-        self.filter.scatter_or(uq, np.full(m, _OCC, dtype=U64))
+        self.filter.scatter_or_unique(uq, np.full(m, _OCC, dtype=U64))
         if self.storage is not None and counts is not None:
             cmask = U64(self.counter_mask)
-            self.storage.scatter_or(pos, np.minimum(counts, cmask))
+            self.storage.scatter_or_unique(pos, np.minimum(counts, cmask))
         self.entries = n
         self._index = None
 

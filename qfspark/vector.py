@@ -83,6 +83,13 @@ class PackedVector:
                     vals[spill] >> (U64(64) - off[spill]),
                 )
 
+    def scatter_or_unique(self, ix: np.ndarray, vals: np.ndarray) -> None:
+        """Packed variant of the distinct-index OR-write: adjacent fields
+        can share a word even when field indices are distinct, so the
+        fancy ``|=`` shortcut is unsafe here — delegate to the
+        ``ufunc.at`` path (which also validates widths)."""
+        self.scatter_or(ix, vals)
+
     def scatter(self, ix: np.ndarray, vals: np.ndarray) -> None:
         """Vectorized ASSIGNMENT at **distinct** indices (clear the
         field, then OR the value in) — the batched ``set``. Distinctness
@@ -186,6 +193,15 @@ class UnpackedVector:
                 f"value wider than {self.bits} bits in unpacked scatter"
             )
         np.bitwise_or.at(self.words, ix.astype(np.int64, copy=False), vals)
+
+    def scatter_or_unique(self, ix: np.ndarray, vals: np.ndarray) -> None:
+        """OR-write at **distinct** indices via fancy in-place ``|=`` —
+        ~2x faster than ``ufunc.at`` (the bulk-build hot path). With
+        duplicate indices fancy assignment keeps only one update, so the
+        caller must guarantee distinctness; values must already fit the
+        field width (no overflow pass — internal callers construct them
+        in-range)."""
+        self.words[ix] |= vals.astype(U64, copy=False)
 
     def scatter(self, ix: np.ndarray, vals: np.ndarray) -> None:
         """Vectorized assignment at **distinct** indices."""
