@@ -79,12 +79,26 @@ def _q_user_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_shingle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One pass over the exploded shingles instead of two: the
+    ``groupBy(shingle).count()`` aggregate (map-side combined) is both
+    the filter's build input — ``build_qf_from_counts`` collects
+    (hash, count) pairs for the distinct shingles only — and, cached,
+    the probe set. The result is identical to building over the raw
+    shingle multiset and probing its distinct set (the CQF layout is
+    canonical in the (hash -> count) map); previously the explode ran
+    once for the build and again for the probe-side distinct."""
+    from qfspark.build import build_qf_from_counts
+    from qfspark.dedup import _track_cache
+
     doc = spark.read.parquet(f"{sf_dir}/documents.parquet")
     sh = doc.select(
         F.explode(F.expr(shingle_expr("text", 3))).alias("shingle")
     )
-    qf = build_qf(sh, "shingle", config=QFConfig(**_CFG))
-    return annotate(sh.distinct(), "shingle", qf, seen_col="seen", count_col="cnt")
+    agg = _track_cache(
+        sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("n")).persist())
+    qf = build_qf_from_counts(agg, "shingle", "n", config=QFConfig(**_CFG))
+    return annotate(agg.select("shingle"), "shingle", qf,
+                    seen_col="seen", count_col="cnt")
 
 
 def _q_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:

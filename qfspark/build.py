@@ -111,6 +111,15 @@ HASH_COL = "qf_hash"
 # half the documented ~1e8 ceiling leaves headroom for skewed shards.
 ARROW_MAX_ROWS_PER_SHARD = 50_000_000
 
+# build_qf inputs estimated (action-free, never under-estimating) at or
+# below this many raw rows skip the mapInPandas partial-aggregation
+# stage: the JVM-hashed column is Arrow-collected directly (~8 B/row,
+# so <= ~32 MB through the driver) and deduped in one driver-side sort —
+# one codegen-only Spark job instead of a Python-worker stage + blob
+# collect. Above it, the partial path bounds driver traffic at ~12 B per
+# DISTINCT key per partition (the documented build_qf RAM contract).
+SMALL_BUILD_COLLECT_ROWS = 4_000_000
+
 
 def _u64(series_or_array) -> np.ndarray:
     """Reinterpret a signed int64 hash column as uint64 (two's complement)."""
@@ -233,6 +242,29 @@ def build_qf(
     config = config or QFConfig(hash_name=DEFAULT_HASH, counter_bits=32)
     keys = _keys_nonnull(df, col)
     hashed = with_hash(keys, col, config.hash_name).select(HASH_COL)
+
+    # SMALL-INPUT FAST PATH: when an action-free estimate bounds the
+    # input under SMALL_BUILD_COLLECT_ROWS, collect the JVM-hashed
+    # column directly via Arrow (ONE codegen-only job — no Python
+    # worker stage, no partial blobs) and build driver-side. The
+    # canonical layout is a pure function of the hash multiset, so the
+    # result is byte-identical to the partial-merge path. The estimate
+    # errs only upward (pre-filter footer counts; expanding plans are
+    # excluded), so a large input can never sneak into the collect.
+    est = None
+    if hasattr(hashed, "toArrow"):
+        from .sources import approx_row_count
+
+        est = approx_row_count(hashed, fallback_count=False)
+    if est is not None and est <= SMALL_BUILD_COLLECT_ROWS:
+        a = hashed.toArrow().column(HASH_COL).to_numpy(
+            zero_copy_only=False)
+        hv = np.asarray(a, dtype=np.int64).view(np.uint64)
+        if not hv.flags.writeable:
+            hv = hv.copy()
+        hv.sort()
+        return QF.from_hashes(hv, None, config)
+
     partials_df = _partial_hashes(hashed, config)
     n_parts = hashed.rdd.getNumPartitions()
     if n_parts > driver_merge_limit:
@@ -250,6 +282,38 @@ def build_qf(
         return QF(config)
     hv, counts = _merge_hash_blobs(rows, config.counter_bits)
     return QF.from_hashes(hv, counts, config, assume_unique=True)
+
+
+def build_qf_from_counts(
+    df: DataFrame,
+    col: str,
+    count_col: str,
+    config: QFConfig | None = None,
+) -> QF:
+    """Build one merged CQF from a PRE-AGGREGATED ``(key, count)``
+    DataFrame — the fast shape when the caller already has a
+    ``groupBy(key).count()`` in hand (e.g. it also needs the distinct
+    keys for probing): hashing stays JVM-side and exactly one Arrow
+    collect moves ~16 B per distinct key, with no Python worker stage.
+    Byte-identical to ``build_qf`` over the un-aggregated multiset
+    (counts for hash-colliding keys sum, exactly as the multiset path
+    aggregates them). Same driver-RAM contract as ``build_qf``: the
+    distinct keys must fit driver memory."""
+    config = config or QFConfig(hash_name=DEFAULT_HASH, counter_bits=32)
+    keys = df.select(col, count_col).where(F.col(col).isNotNull())
+    hashed = with_hash(keys, col, config.hash_name).select(
+        HASH_COL, F.col(count_col).cast("long").alias("_qf_n"))
+    tbl = hashed.toArrow()
+    hv = np.asarray(
+        tbl.column(HASH_COL).to_numpy(zero_copy_only=False),
+        dtype=np.int64).view(np.uint64)
+    counts = np.asarray(
+        tbl.column("_qf_n").to_numpy(zero_copy_only=False),
+        dtype=np.int64).view(np.uint64)
+    if not hv.flags.writeable:
+        hv = hv.copy()
+    order = np.argsort(hv, kind="stable")
+    return QF.from_hashes(hv[order], counts[order], config)
 
 
 def _partial_hashes(hashed: DataFrame, config: QFConfig) -> DataFrame:

@@ -81,7 +81,8 @@ def write_checkpoint(df: DataFrame, location: str, fmt: str = "auto",
     df.write.mode(mode).parquet(location)
 
 
-def approx_row_count(df: DataFrame, sample_files: int = 64) -> int:
+def approx_row_count(df: DataFrame, sample_files: int = 64,
+                     fallback_count: bool = True) -> int | None:
     """Best-effort row-count estimate WITHOUT scanning the data — for
     callers that size a data structure from the corpus size at log2
     granularity (LSH plane counts, rows-per-shard exchange guards),
@@ -104,7 +105,11 @@ def approx_row_count(df: DataFrame, sample_files: int = 64) -> int:
          guard, whose arrow path has a hard per-shard row bound.
       3. ``df.count()`` — the explicit fallback for in-memory /
          exotic sources and for row-expanding plans; the one
-         remaining driver action, on a column-pruned scan.
+         remaining driver action, on a column-pruned scan. With
+         ``fallback_count=False`` this step is skipped and ``None`` is
+         returned instead — the action-free mode for callers gating a
+         fast path who would rather take the slow path than pay an
+         extra full pass for the estimate.
     """
     try:
         rc = df._jdf.queryExecution().optimizedPlan().stats().rowCount()
@@ -133,7 +138,7 @@ def approx_row_count(df: DataFrame, sample_files: int = 64) -> int:
                 return max(1, int(rows / len(sampled) * len(paths)))
         except Exception:
             pass
-    return df.count()
+    return df.count() if fallback_count else None
 
 
 def _plan_expands_rows(df: DataFrame) -> bool:

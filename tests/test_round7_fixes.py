@@ -1,0 +1,92 @@
+"""Round-7 optimization equivalence tests: every fast path introduced
+for speed must produce byte-identical filters to the path it replaces
+(the CQF layout is canonical in the (hash -> count) map, so byte
+equality is the strongest and simplest oracle)."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from qfspark import QF, QFConfig
+from qfspark.build import (
+    SMALL_BUILD_COLLECT_ROWS,
+    build_qf,
+    build_qf_from_counts,
+)
+from qfspark.serde import qf_to_bytes
+from qfspark.webpages import synthesize, synthesize_crawl
+
+from .conftest import SF_DIR
+
+
+def _aligned_bytes(a: QF, b: QF) -> tuple[bytes, bytes]:
+    if a.q_bits != b.q_bits:
+        b.resize(a.q_bits)
+    return qf_to_bytes(a), qf_to_bytes(b)
+
+
+def test_small_collect_path_matches_partial_path(spark):
+    """The small-input Arrow-collect fast path and the mapInPandas
+    partial-merge path must build byte-identical filters."""
+    wp = synthesize(spark, SF_DIR)
+    cfg = QFConfig(counter_bits=16, hash_name="xxhash64")
+    fast = build_qf(wp, "url", config=cfg)  # small input -> collect path
+
+    import qfspark.build as B
+
+    old = B.SMALL_BUILD_COLLECT_ROWS
+    try:
+        B.SMALL_BUILD_COLLECT_ROWS = 0  # force the partial path
+        slow = build_qf(wp, "url", config=cfg)
+    finally:
+        B.SMALL_BUILD_COLLECT_ROWS = old
+    fb, sb = _aligned_bytes(fast, slow)
+    assert fb == sb
+
+
+def test_build_from_counts_matches_multiset_build(spark):
+    """build_qf_from_counts over groupBy(key).count() == build_qf over
+    the raw key multiset, byte-identical (duplicated crawl input so the
+    counters are non-trivial)."""
+    crawl = synthesize_crawl(spark, SF_DIR)
+    cfg = QFConfig(counter_bits=16, hash_name="xxhash64")
+    direct = build_qf(crawl, "url", config=cfg)
+    agg = crawl.groupBy("url").agg(F.count(F.lit(1)).alias("n"))
+    from_counts = build_qf_from_counts(agg, "url", "n", config=cfg)
+    db, cb = _aligned_bytes(direct, from_counts)
+    assert db == cb
+
+
+def test_build_from_counts_drops_null_keys(spark):
+    df = spark.createDataFrame(
+        [("a", 2), (None, 5), ("b", 1)], "k string, n long")
+    cfg = QFConfig(counter_bits=8, hash_name="xxhash64")
+    qf = build_qf_from_counts(df, "k", "n", config=cfg)
+    assert len(qf) == 2
+    f, c = qf.lookup_keys(["a", "b", "z"])
+    assert f.tolist() == [True, True, False]
+    assert c.tolist() == [2, 1, 0]
+
+
+def test_from_hashes_sorted_and_unsorted_agree():
+    """The diff-based dedup path: sorted vs unsorted input, duplicate
+    aggregation with and without explicit counts."""
+    rng = np.random.RandomState(3)
+    hv = rng.randint(0, 2 ** 62, 5000).astype(np.uint64)
+    hv = np.concatenate([hv, hv[:1700]])  # duplicates
+    cfg = QFConfig(counter_bits=16)
+    a = QF.from_hashes(hv, None, cfg)
+    b = QF.from_hashes(np.sort(hv), None, cfg)
+    ab, bb = _aligned_bytes(a, b)
+    assert ab == bb
+    # explicit counts reduceat path vs per-occurrence expansion
+    uniq = np.unique(hv[:64])
+    counts = (rng.randint(1, 5, len(uniq))).astype(np.uint64)
+    expanded = np.repeat(uniq, counts.astype(np.int64))
+    c = QF.from_hashes(uniq, counts, cfg)
+    d = QF.from_hashes(expanded, None, cfg)
+    cb, db2 = _aligned_bytes(c, d)
+    assert cb == db2
+
+
+def test_small_build_threshold_is_sane():
+    assert 0 < SMALL_BUILD_COLLECT_ROWS <= 50_000_000
