@@ -295,18 +295,19 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame,
     from .sizing import QFConfig
 
     config = config or QFConfig(counter_bits=0, hash_name="xxhash64")
-    bench_sh = (
-        benchmark.select(
-            F.explode(F.expr(shingle_expr(col, k))).alias("shingle"))
-        .distinct()
-    )
+    # no .distinct() before the build: the filter dedups hashes itself
+    # (membership is set-semantics and only `_seen` is consumed below),
+    # so the global distinct's shuffle bought nothing
+    bench_sh = benchmark.select(
+        F.explode(F.expr(shingle_expr(col, k))).alias("shingle"))
     qf = build_qf(bench_sh, "shingle", config=config)
-    doc_sh = (
-        docs.select(
-            "doc_id",
-            F.explode(F.expr(shingle_expr(col, k))).alias("shingle"))
-        .distinct()
-    )
+    # per-doc dedup INSIDE the row: doc_id was part of the old distinct
+    # key, so array_distinct before the explode is equivalent and saves
+    # the (doc_id, shingle) shuffle (guide §2.4)
+    doc_sh = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.expr(shingle_expr(col, k)))).alias("shingle"))
     hits = annotate(doc_sh, "shingle", qf, seen_col="_seen")
     overlap = (
         hits.groupBy("doc_id")
