@@ -141,23 +141,42 @@ def planes_for(n: int, target_bucket: int = 64,
     return max(lo, min(hi, math.ceil(math.log2(max(2.0, n / target_bucket)))))
 
 
+def _hash60_py(s: str) -> int:
+    """Python twin of textops.spark_hash60 / duckdb_hash60 for
+    CONSTANT inputs: top 60 bits of md5 as an integer."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
 def lsh_bucket_expr(col: str, planes: int = 8, dim: int = 64,
                     table: int = 0) -> str:
     """Sign-bucket key for hash table ``table``: bit b of the key is the
     sign of the dot product with pseudo-random hyperplane (table, b),
     whose components are deterministic md5-derived values in [-0.5, 0.5):
-    plane(t, b, j) = (hash60(t || '_' || b || '_' || j) % 1000) / 1000 - 0.5."""
-    h60 = spark_hash60(f"concat({table}, '_', b, '_', j)")
-    plane = f"(pmod({h60}, 1000) / 1000.0 - 0.5)"
-    dot_b = (
-        f"aggregate(zip_with({col}, sequence(0, {dim - 1}), "
-        f"(x, j) -> CAST(x AS DOUBLE) * {plane}), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
-    )
-    return (
-        f"aggregate(transform(sequence(0, {planes - 1}), "
-        f"b -> CASE WHEN {dot_b} >= 0 THEN CAST(pow(2, b) AS BIGINT) ELSE CAST(0 AS BIGINT) END), "
-        f"CAST(0 AS BIGINT), (acc, v) -> acc + v)"
-    )
+    plane(t, b, j) = (hash60(t || '_' || b || '_' || j) % 1000) / 1000 - 0.5.
+
+    The plane components depend only on (table, b, j), so they are
+    computed HERE, once, and inlined as a literal double array per
+    plane — the previous form re-derived every component per row with
+    planes x dim md5 calls inside the fold lambdas. ``repr``
+    round-trips doubles exactly and the zip_with fold keeps the old
+    left-to-right add order, so every bucket key is bit-identical
+    (oracle-checked). (A fully-unrolled flat sum expression was ~2x
+    worse end to end: 24 x 64 inline terms blow up codegen.)"""
+    terms = []
+    for b in range(planes):
+        arr = ", ".join(
+            repr((_hash60_py(f"{table}_{b}_{j}") % 1000) / 1000.0 - 0.5)
+            for j in range(dim))
+        dot_b = (
+            f"aggregate(zip_with({col}, array({arr}), "
+            f"(x, p) -> CAST(x AS DOUBLE) * p), CAST(0.0 AS DOUBLE), "
+            f"(acc, v) -> acc + v)")
+        terms.append(
+            f"(CASE WHEN {dot_b} >= 0 THEN CAST({1 << b} AS BIGINT) "
+            f"ELSE CAST(0 AS BIGINT) END)")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
 
 
 def lsh_bucketed(df: DataFrame, id_col: str = "vec_id",
