@@ -2618,20 +2618,33 @@ def kmv_set_ops(a_df: DataFrame, b_df: DataFrame, col: str,
     # plan
     sa = _materialize_sketch(kmv_sketch(a_df, col, k, hash_scheme))
     sb = _materialize_sketch(kmv_sketch(b_df, col, k, hash_scheme))
-    merged = _materialize_sketch(kmv_merge(sa, sb, k))
-    match = (
-        merged.join(sa, "h", "left_semi").join(sb, "h", "left_semi")
-        .agg(F.count(F.lit(1)).alias("_m"))
+    # membership flags + ONE aggregate over the union sample replace the
+    # old four separate semi/anti-join branches (match / a_only / b_only
+    # / msize were four jobs over the same k rows) — and `merged` now
+    # has a single consumer, so its eager materialization goes too
+    merged = kmv_merge(sa, sb, k)
+    flags = (
+        merged
+        .join(sa.withColumn("_ina", F.lit(1)), "h", "left")
+        .join(sb.withColumn("_inb", F.lit(1)), "h", "left")
     )
-    a_only = (
-        merged.join(sa, "h", "left_semi").join(sb, "h", "left_anti")
-        .agg(F.count(F.lit(1)).alias("_ao"))
+    ina = F.col("_ina").isNotNull()
+    inb = F.col("_inb").isNotNull()
+    stats = flags.agg(
+        F.count(F.lit(1)).alias("_ms"),
+        F.max("h").alias("_hk"),
+        F.coalesce(F.sum((ina & inb).cast("long")), F.lit(0)).alias("_m"),
+        F.coalesce(F.sum((ina & ~inb).cast("long")), F.lit(0)).alias("_ao"),
+        F.coalesce(F.sum((~ina & inb).cast("long")), F.lit(0)).alias("_bo"),
+    ).withColumn(
+        "est_union",
+        F.round(
+            F.when(F.col("_ms") < k, F.col("_ms").cast("double"))
+            .otherwise(F.lit(float(k - 1)) * F.lit(_KMV_RANGE)
+                       / F.col("_hk")),
+            1,
+        ),
     )
-    b_only = (
-        merged.join(sb, "h", "left_semi").join(sa, "h", "left_anti")
-        .agg(F.count(F.lit(1)).alias("_bo"))
-    )
-    msize = merged.agg(F.count(F.lit(1)).alias("_ms"))
 
     def _frac_est(cnt: str, out: str):
         return F.round(
@@ -2641,9 +2654,7 @@ def kmv_set_ops(a_df: DataFrame, b_df: DataFrame, col: str,
     return (
         _kmv_est(sa, k, "est_a")
         .crossJoin(_kmv_est(sb, k, "est_b"))
-        .crossJoin(_kmv_est(merged, k, "est_union"))
-        .crossJoin(match).crossJoin(a_only).crossJoin(b_only)
-        .crossJoin(msize)
+        .crossJoin(stats)
         .select(
             "est_a", "est_b", "est_union",
             F.round(F.col("_m") / F.col("_ms"), 6).alias("jaccard"),
@@ -2894,21 +2905,34 @@ def kmv_set_ops_by(a_df: DataFrame, b_df: DataFrame, col: str, by,
     # eviction recomputes deterministically from lineage
     sa = _materialize_sketch(kmv_sketch_by(a_df, col, by, k, hash_scheme))
     sb = _materialize_sketch(kmv_sketch_by(b_df, col, by, k, hash_scheme))
-    merged = _materialize_sketch(kmv_merge_by(sa, sb, by, k))
+    # membership flags + ONE grouped aggregate over the union sample
+    # replace the old four semi/anti-join branches (match / a_only /
+    # b_only / msize) and the separate est_union aggregate; `merged`
+    # then has one consumer, so its eager materialization goes too
+    merged = kmv_merge_by(sa, sb, by, k)
     key = by + ["h"]
-    match = (
-        merged.join(sa, key, "left_semi").join(sb, key, "left_semi")
-        .groupBy(*by).agg(F.count(F.lit(1)).alias("_m"))
+    flags = (
+        merged
+        .join(sa.withColumn("_ina", F.lit(1)), key, "left")
+        .join(sb.withColumn("_inb", F.lit(1)), key, "left")
     )
-    a_only = (
-        merged.join(sa, key, "left_semi").join(sb, key, "left_anti")
-        .groupBy(*by).agg(F.count(F.lit(1)).alias("_ao"))
+    ina = F.col("_ina").isNotNull()
+    inb = F.col("_inb").isNotNull()
+    stats = flags.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("_ms"),
+        F.max("h").alias("_hk"),
+        F.coalesce(F.sum((ina & inb).cast("long")), F.lit(0)).alias("_m"),
+        F.coalesce(F.sum((ina & ~inb).cast("long")), F.lit(0)).alias("_ao"),
+        F.coalesce(F.sum((~ina & inb).cast("long")), F.lit(0)).alias("_bo"),
+    ).withColumn(
+        "est_union",
+        F.round(
+            F.when(F.col("_ms") < k, F.col("_ms").cast("double"))
+            .otherwise(F.lit(float(k - 1)) * F.lit(_KMV_RANGE)
+                       / F.col("_hk")),
+            1,
+        ),
     )
-    b_only = (
-        merged.join(sb, key, "left_semi").join(sa, key, "left_anti")
-        .groupBy(*by).agg(F.count(F.lit(1)).alias("_bo"))
-    )
-    msize = merged.groupBy(*by).agg(F.count(F.lit(1)).alias("_ms"))
 
     def _frac_est(cnt: str, out: str):
         return F.round(
@@ -2917,13 +2941,9 @@ def kmv_set_ops_by(a_df: DataFrame, b_df: DataFrame, col: str, by,
         ).alias(out)
 
     return (
-        msize
-        .join(_kmv_est_by(merged, by, k, "est_union"), by)
+        stats
         .join(_kmv_est_by(sa, by, k, "est_a"), by, "left")
         .join(_kmv_est_by(sb, by, k, "est_b"), by, "left")
-        .join(match, by, "left")
-        .join(a_only, by, "left")
-        .join(b_only, by, "left")
         .select(
             *by,
             F.coalesce(F.col("est_a"), F.lit(0.0)).alias("est_a"),
