@@ -52,6 +52,76 @@ _CONT = 2  # is_continuation
 _SHIFT = 4  # is_shifted
 _META = 7
 
+# ---------------------------------------------------------------------------
+# bit-parallel helpers for the batched incremental insert: each row's
+# window metadata packs into ONE uint64 per bit-kind (bit j = window
+# column j), so the insert algorithm's walks run as 1D uint64 bit
+# arithmetic instead of 2D boolean column scans.
+# ---------------------------------------------------------------------------
+
+_PC16 = None  # lazy 16-bit popcount lookup (64 KiB, built once)
+
+
+def _pc16_table() -> np.ndarray:
+    global _PC16
+    if _PC16 is None:
+        _PC16 = np.unpackbits(
+            np.arange(1 << 16, dtype=np.uint16).view(np.uint8)
+            .reshape(-1, 2), axis=1).sum(axis=1).astype(np.uint8)
+    return _PC16
+
+
+def _popcount48(x: np.ndarray) -> np.ndarray:
+    """Per-element popcount of uint64 values known to fit 48 bits
+    (the window width): three 16-bit table lookups."""
+    t = _pc16_table()
+    m = U64(0xFFFF)
+    return (t[x & m] + t[(x >> U64(16)) & m] + t[(x >> U64(32)) & m])
+
+
+def _highbit_pos(x: np.ndarray) -> np.ndarray:
+    """Position of the highest set bit (0 where x == 0). Exact via
+    float64 log2 only while x stays well under 2^40 (above that the
+    ulp of the result can round log2(2^k - 1) up to k); callers pass
+    left-half masks of at most _WIN_BACK + 1 <= 17 bits."""
+    return np.log2(
+        np.maximum(x, U64(1)).astype(np.float64)).astype(np.int64)
+
+
+def _lowbit_pos(x: np.ndarray) -> np.ndarray:
+    """Position of the lowest set bit (0 where x == 0): isolate with
+    x & -x (a single power of two — float64-exact at any width).
+    The two's-complement wrap is silent for ARRAY uint64 arithmetic
+    (numpy only warns on scalar overflow), so no errstate guard —
+    the guard's seterr/geterr pair alone cost ~9 us per call."""
+    low = x & (~x + U64(1))
+    return np.log2(
+        np.maximum(low, U64(1)).astype(np.float64)).astype(np.int64)
+
+
+def _pack_window_masks(W: np.ndarray, win: int):
+    """(m_occ, m_cont, m_shift, m_used) uint64 masks for a rows x win
+    uint64 slot-value window — ONE packbits call over a 4-lane boolean
+    buffer; bit j of each mask is window column j. Requires win <= 64."""
+    occ = (W & U64(_OCC)) != 0
+    cont = (W & U64(_CONT)) != 0
+    shift = (W & U64(_SHIFT)) != 0
+    bb = np.zeros((W.shape[0], 256), dtype=np.uint8)
+    bb[:, 0:win] = occ
+    bb[:, 64:64 + win] = cont
+    bb[:, 128:128 + win] = shift
+    bb[:, 192:192 + win] = occ | cont | shift
+    words = np.packbits(bb, axis=1, bitorder="little").view(U64)
+    return words[:, 0], words[:, 1], words[:, 2], words[:, 3]
+
+
+def _pack_bool_rows(b: np.ndarray) -> np.ndarray:
+    """Pack a rows x C boolean array (C <= 64) into one uint64 mask per
+    row, bit j = column j."""
+    buf = np.zeros((b.shape[0], 64), dtype=np.uint8)
+    buf[:, : b.shape[1]] = b
+    return np.packbits(buf, axis=1, bitorder="little").view(U64).ravel()
+
 
 class QF:
     """A counting quotient filter over 64-bit hashes.
@@ -619,7 +689,15 @@ class QF:
             # >= home] — cluster-floor = the last empty slot <= home
             # (the backward cluster walk can never reach an empty
             # slot), first-empty = where the ripple lands.
-            wvals = svals = e_col = None
+            # ROUND 7: the window's per-slot meta bits are bit-PACKED
+            # into one uint64 mask per (row, bit-kind) — bit j of a
+            # mask is window column j — so the cluster-floor /
+            # first-empty scans here and every walk inside the
+            # emulation run as 1D uint64 bit arithmetic instead of
+            # 2D boolean column scans (each 2D op cost ~3-6 us of
+            # dispatch at batch sizes; the masks make most of them
+            # ~1 us 1D ops).
+            wvals = svals = masks = e_col = None
             if occ_rows.size:
                 offs = np.arange(win, dtype=np.int64) - back
                 widx = dq[occ_rows, None] + offs[None, :]
@@ -628,17 +706,22 @@ class QF:
                 svals = (self.storage.gather(widx.ravel())
                          .reshape(occ_rows.size, win)
                          if has_storage else None)
-                meta_empty = (wvals & U64(_META)) == 0
-                left_empty = meta_empty[:, :back + 1]
-                s_col = back - np.argmax(left_empty[:, ::-1], axis=1)
-                e_col = back + np.argmax(meta_empty[:, back:], axis=1)
-                ok = left_empty.any(axis=1) & \
-                    meta_empty[:, back:].any(axis=1)
+                masks = _pack_window_masks(wvals, win)
+                m_used = masks[3]
+                one = U64(1)
+                low_b1 = U64((1 << (back + 1)) - 1)
+                empty_m = ~m_used & U64((1 << win) - 1)
+                left_empty = empty_m & low_b1
+                right_empty = empty_m >> U64(back)
+                ok = (left_empty != 0) & (right_empty != 0)
+                s_col = _highbit_pos(left_empty)
+                e_rel = _lowbit_pos(right_empty)
+                e_col = back + e_rel
                 if not ok.all():
                     scalar_list.extend(occ_rows[~ok].tolist())
                     occ_rows = occ_rows[ok]
                     wsel = np.flatnonzero(ok)
-                    s_col, e_col = s_col[ok], e_col[ok]
+                    s_col, e_col, e_rel = s_col[ok], e_col[ok], e_rel[ok]
                 else:
                     wsel = np.arange(occ_rows.size)
 
@@ -703,8 +786,9 @@ class QF:
                 present, failed, nn, fw, fs = self._emulate_insert_batch(
                     wvals[kw],
                     svals[kw] if has_storage else None,
-                    dq[krows], (sh[krows] & self.r_mask),
-                    e_col[occ_kept], value, add)
+                    tuple(m[kw] for m in masks),
+                    (sh[krows] & self.r_mask),
+                    e_rel[occ_kept], value, add)
                 new_entries += nn
                 if failed.any():
                     scalar_list.extend(krows[failed].tolist())
@@ -735,21 +819,30 @@ class QF:
             out[present_scalar] = True
         return out
 
-    def _emulate_insert_batch(self, W, S, dq_r, dr_r, e_col, value, add):
+    def _emulate_insert_batch(self, W, S, masks, dr_r, e_rel, value, add):
         """The exact ``_insert_hash_nogrow`` algorithm run VECTORIZED
         across every kept occupied-home row's materialized window at
-        once (W: rows x win uint64, home slot at column ``_WIN_BACK``).
-        The three data-dependent walks become column scans — backward
-        cluster walk: cumsum of OCC / non-CONT up to the first
-        shift-clear column; forward run_start walk: position of the
-        ``runs-complete``-th non-CONT column after home; in-run sorted
-        position: argmax of a stop mask — and the ripple becomes one
-        masked shifted-copy of the window (new[j] = f(old[j-1]) over
-        [slot, first-empty]). Rows whose walk would leave the window
-        report ``failed`` and write NOTHING (the caller demotes them
-        to the scalar path against live state). Caller guarantees
-        homes are non-empty and kept regions pairwise disjoint, so
-        write-back cells never collide across rows.
+        once (W: rows x win uint64, home slot at column ``_WIN_BACK``;
+        ``masks`` = the (occ, cont, shift, used) bit-packed window
+        masks from ``_pack_window_masks``, bit j = window column j;
+        ``e_rel`` = first empty column >= home, relative to home).
+
+        ROUND 7: the three data-dependent walks run as 1D uint64 BIT
+        ARITHMETIC on the packed masks — backward cluster walk:
+        highest shift-clear bit + two popcounts over the (stop, home]
+        bit range; forward run_start walk: k-th set non-CONT bit
+        (clear-lowest-bit loop, k is tiny); in-run sorted position:
+        lowest set bit of a stop mask. Only the remainder comparison
+        and the ripple's shifted-copy remain 2D. This replaces ~45
+        2D boolean ops (each ~3-6 us of numpy dispatch per call)
+        with ~1 us 1D ops; results are bit-identical
+        (differential-tested against the sequential scalar insert).
+
+        Rows whose walk would leave the window report ``failed`` and
+        write NOTHING (the caller demotes them to the scalar path
+        against live state). Caller guarantees homes are non-empty
+        and kept regions pairwise disjoint, so write-back cells never
+        collide across rows.
 
         Returns (present, failed, n_new, (wrow, wcol, wval),
         (srow, scol, sval) | None) with columns relative to the
@@ -761,50 +854,66 @@ class QF:
         has_storage = S is not None
         rows = np.arange(R)
         OCCu, CONTu, SHIFTu = U64(_OCC), U64(_CONT), U64(_SHIFT)
+        one = U64(1)
+        m_occ, m_cont, m_shift, m_used = masks
+        low_b1 = U64((1 << (B + 1)) - 1)        # bits 0..B (left half)
+        rmask = U64((1 << nright) - 1)          # right-half bit range
 
-        # stage 1 reads only the left half [0, B]; stages 2-3 only the
-        # right half [B, win) (run_start/slot/ripple all sit at or
-        # after home) — no full-width bit extraction needed.
-        Wl = W[:, :B + 1]
         Wr = W[:, B:]
         dr_u = dr_r.astype(U64, copy=False)
         drs = dr_u << U64(3)
 
         home = Wr[:, 0]
-        extending = (home & OCCu) != 0
+        extending = ((m_occ >> U64(B)) & one) != 0
         nonext = ~extending
 
         # ---- stage 1: run_start (findStart, qf.go:422-444) ----
         # The scalar path claims the OCC bit at home FIRST (the walk
         # reads the claimed value), so the occupancy count includes it.
-        shiftl = (Wl & SHIFTu) != 0
-        need_walk = shiftl[:, B]
-        left_sc = ~shiftl
-        found_sc = left_sc.any(axis=1)
-        stop = B - np.argmax(left_sc[:, ::-1], axis=1)
-        occl = (Wl & OCCu) != 0
-        occl[nonext, B] = True
-        nc = (Wl & CONTu) == 0
-        # runs - complete in one cumsum: d = occupied - run-terminator
-        d_cs = np.cumsum(occl.astype(np.int8) - nc, axis=1)
-        need = np.where(
-            need_walk,
-            1 + (d_cs[:, B] - d_cs[rows, stop]) - nc[rows, stop], 0)
-        ncontr = (Wr & CONTu) == 0
-        ncr_cs = np.cumsum(ncontr[:, 1:], axis=1)
-        failed = need_walk & ((need > ncr_cs[:, -1]) | ~found_sc)
-        rs_off = np.argmax(
-            ncr_cs >= np.maximum(need, 1)[:, None], axis=1)
-        rs = np.where(need > 0, 1 + rs_off, 0)  # right-half column
+        need_walk = ((m_shift >> U64(B)) & one) != 0
+        left_sc = ~m_shift & low_b1             # shift-clear cols 0..B
+        found_sc = left_sc != 0
+        stop = _highbit_pos(left_sc)            # 0 for all-shifted rows
+        occl = (m_occ & low_b1) | (nonext.astype(U64) << U64(B))
+        ncl = ~m_cont & low_b1                  # non-CONT cols 0..B
+        # runs - complete over the walked range (stop, B]: popcounts
+        # over one per-row bit-range mask. The three popcounts run as
+        # ONE table pass over a concatenated array (one numpy dispatch
+        # set instead of three).
+        rng = low_b1 & ~((one << (stop.astype(U64) + one)) - one)
+        ncr = (~m_cont >> U64(B)) & rmask & ~one  # right non-CONT, no home
+        pc3 = _popcount48(
+            np.concatenate([occl & rng, ncl & rng, ncr])
+        ).astype(np.int64)
+        d = pc3[:R] - pc3[R:2 * R]
+        nc_at_stop = ((ncl >> stop.astype(U64)) & one).astype(np.int64)
+        need = np.where(need_walk, 1 + d - nc_at_stop, 0)
+        failed = need_walk & ((need > pc3[2 * R:]) | ~found_sc)
+        # rs = position of the need-th set bit of ncr: clear the
+        # need-1 lowest set bits (need is small — the run count of one
+        # cluster), then take the lowest remaining
+        k = np.maximum(need, 1) - 1
+        m = ncr.copy()
+        while True:
+            act = k > 0
+            if not act.any():
+                break
+            m[act] &= m[act] - one
+            k[act] -= 1
+        rs = np.where(need > 0, _lowbit_pos(m), 0)  # right-half column
 
         # ---- stage 2: sorted position within the run ----
         # rem >= dr collapses to Wr >= dr<<3 (remainder above the 3
-        # meta bits; equality at rem == dr regardless of meta).
-        rsc = rs[:, None]
-        grid = np.arange(nright, dtype=np.int64)[None, :]
-        stopm = ((Wr & U64(_META)) == 0) | (Wr >= drs[:, None])
-        crit = (stopm & (grid >= rsc)) | (ncontr & (grid > rsc))
-        slot = np.where(extending, np.argmax(crit, axis=1), rs)
+        # meta bits; equality at rem == dr regardless of meta) — the
+        # one remaining 2D comparison, packed to a bit mask
+        ge_mask = _pack_bool_rows(Wr >= drs[:, None])
+        rs_u = rs.astype(U64)
+        ge_rs = ~((one << rs_u) - one)              # bits >= rs
+        gt_rs = ~((one << (rs_u + one)) - one)      # bits >  rs
+        empty_r = (~m_used >> U64(B)) & rmask
+        ncontr_full = (~m_cont >> U64(B)) & rmask
+        crit = ((empty_r | ge_mask) & ge_rs) | (ncontr_full & gt_rs)
+        slot = np.where(extending, _lowbit_pos(crit), rs)
 
         cur = Wr[rows, slot]
         dup = (extending & ((cur & U64(_META)) != 0)
@@ -814,14 +923,13 @@ class QF:
         rip = ~failed & ~dup
 
         # ---- stage 3: ripple-shift [slot, first-empty] ----
-        # end = e_col: the first empty column >= home; no empties in
+        # end = e_rel: the first empty column >= home; no empties in
         # [home, slot) (the stage-2 stop mask halts on one), so it is
         # also the first empty >= slot — and the region check already
         # guaranteed it lies inside the window. Shifted cells compose
         # from the raw predecessor word: CONT and remainder travel
         # together in (old & ~(OCC|SHIFT)); OCC stays per-slot; SHIFT
         # is always set past the insertion point.
-        ecr = e_col - B
         newWr = (Wr & OCCu) | SHIFTu
         newWr[:, 1:] |= Wr[:, :-1] & U64(
             0xFFFFFFFFFFFFFFFF ^ (_OCC | _SHIFT))
@@ -841,9 +949,22 @@ class QF:
             | np.where(slot != 0, SHIFTu, U64(0))
             | drs)
 
-        in_rip = (rip[:, None] & (grid >= slot[:, None])
-                  & (grid <= ecr[:, None]))
-        rrow, rcol = np.nonzero(in_rip)
+        # write-back (row, col) pairs for rippling rows over
+        # [slot, e_rel]: segment arithmetic instead of a 2D mask +
+        # nonzero sweep
+        ri = np.flatnonzero(rip)
+        seg = np.maximum(e_rel[ri] - slot[ri] + 1, 0)
+        tot = int(seg.sum())
+        if ri.size:
+            starts = np.empty(ri.size, dtype=np.int64)
+            starts[0] = 0
+            np.cumsum(seg[:-1], out=starts[1:])
+            within = np.arange(tot, dtype=np.int64)
+            within -= np.repeat(starts, seg)
+            rrow = np.repeat(ri, seg)
+            rcol = np.repeat(slot[ri], seg) + within
+        else:
+            rrow = rcol = np.zeros(0, dtype=np.int64)
         wrow, wcol = rrow, rcol
         wv = newWr[wrow, wcol]
         # bare OCC claim at home for non-extending rows whose ripple

@@ -229,8 +229,12 @@ def test_kmv_set_ops_by_uses_registry(spark):
         "CAST(id AS STRING) AS u")
     out = sketches.kmv_set_ops_by(a, b, "u", ["g"], k=64)
     assert out.count() == 2
-    assert len(sketches._SKETCH_CACHES) == 3
-    assert sketches.release_sketch_caches() == 3
+    # round 7: only the two input sketches are materialized (each feeds
+    # the merge AND the flag join / estimate); the merged sketch has a
+    # single consumer since the one-pass flag aggregation and is no
+    # longer cached
+    assert len(sketches._SKETCH_CACHES) == 2
+    assert sketches.release_sketch_caches() == 2
 
 
 # ---------------------------------------------------------------------------
