@@ -57,13 +57,23 @@ def _q_url_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_url_count_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Counting over a crawl with deterministic re-fetches: urls appear
-    1-3 times; the CQF counter must report the exact fetch count."""
+    1-3 times; the CQF counter must report the exact fetch count.
+
+    Same one-pass shape as ``_q_shingle_count``: the
+    ``groupBy(url).count()`` aggregate is both the filter's build input
+    (``build_qf_from_counts`` — no Python partial stage) and, cached,
+    the probe set (its keys ARE the distinct urls); previously the
+    crawl synthesis ran once under the build and again for the
+    probe-side ``.distinct()``."""
+    from qfspark.build import build_qf_from_counts
+    from qfspark.dedup import _track_cache
+
     crawl = synthesize_crawl(spark, sf_dir)
-    qf = build_qf(crawl, "url", config=QFConfig(**_CFG))
-    return annotate(
-        crawl.select("url").distinct(), "url", qf,
-        seen_col="seen", count_col="cnt",
-    )
+    agg = _track_cache(
+        crawl.groupBy("url").agg(F.count(F.lit(1)).alias("n")).persist())
+    qf = build_qf_from_counts(agg, "url", "n", config=QFConfig(**_CFG))
+    return annotate(agg.select("url"), "url", qf,
+                    seen_col="seen", count_col="cnt")
 
 
 def _q_user_count(spark: SparkSession, sf_dir: str) -> DataFrame:

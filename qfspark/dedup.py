@@ -64,12 +64,19 @@ def minhash_signatures(
     h = spark_hash60(f"concat(i, ':', s)")
     # array_distinct up front: min over the distinct shingle set equals
     # min over the multiset, and every duplicate dropped here saves
-    # num_hashes md5 evaluations in the transforms below
+    # num_hashes md5 evaluations in the transforms below.
+    # The few-tokens filter tests the TOKEN COUNT, not the emptiness of
+    # the shingle array it implies (size(shingles) > 0 <=> size(split)
+    # >= k by shingle_expr's guard): a filter phrased on the shingle
+    # array makes Catalyst materialize the whole
+    # split+transform+array_join+array_distinct chain once in the
+    # Filter and AGAIN in the signature projection — per-row shingling
+    # paid twice, and still paid once under a count() that prunes sig.
     return (
-        df.select(
+        df.where(F.expr(f"size(split({col}, ' ')) >= {k}"))
+        .select(
             "doc_id",
             F.array_distinct(F.expr(shingle_expr(col, k))).alias(sh))
-        .where(F.expr(f"size({sh}) > 0"))
         .select(
             "doc_id",
             F.expr(

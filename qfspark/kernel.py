@@ -629,6 +629,20 @@ class QF:
             return out
         order = np.argsort(hv, kind="stable")
         sh = hv[order]
+        # ROUND 7: compiled scalar kernel (qfspark.ckernel) when the
+        # vectors are unpacked word arrays — the exact same algorithm
+        # with zero numpy dispatch, ~5-10x under the vectorized
+        # emulation at batch 200 (which remains the fallback and the
+        # differential twin; byte-identity pinned in
+        # tests/test_round7_fixes.py).
+        clib = None
+        if (isinstance(self.filter, UnpackedVector)
+                and (self.storage is None
+                     or isinstance(self.storage, UnpackedVector))
+                and value >= 0):
+            from .ckernel import get_kernel
+
+            clib = get_kernel()
         # growth-safe chunks: within a chunk the entry count cannot
         # reach max_entries, so the per-element doubling check hoists
         # to the chunk boundary (doubling decisions — and therefore
@@ -640,8 +654,21 @@ class QF:
                 self._double()
             room = self.max_entries - self.entries
             chunk = sh[done:done + room]
-            out[order[done:done + len(chunk)]] = \
-                self._insert_hashes_chunk(chunk, value, add)
+            if clib is not None:
+                from . import ckernel
+
+                flags, new = ckernel.insert_batch(
+                    clib, self.filter.words,
+                    self.storage.words
+                    if self.storage is not None else None,
+                    self.size, self.r_bits, int(self.r_mask),
+                    self.counter_mask,
+                    np.ascontiguousarray(chunk), value, add)
+                self.entries += new
+                out[order[done:done + len(chunk)]] = flags
+            else:
+                out[order[done:done + len(chunk)]] = \
+                    self._insert_hashes_chunk(chunk, value, add)
             done += len(chunk)
         return out
 

@@ -73,16 +73,25 @@ def quality_filter(df: DataFrame, col: str = "text",
                    min_tokens: int = 20, max_tokens: int = 100_000,
                    min_stopword_ratio: float = 0.0) -> DataFrame:
     """Keep documents passing the quality gates (the filtering operator a
-    training-data pipeline runs before dedup)."""
-    stats = text_stats(df, col)
-    return (
-        df.join(stats.select("doc_id", "n_tokens", "stopword_ratio"), "doc_id")
-        .where(
-            (F.col("n_tokens") >= min_tokens)
-            & (F.col("n_tokens") <= max_tokens)
-            & (F.col("stopword_ratio") >= min_stopword_ratio)
-        )
-        .drop("n_tokens", "stopword_ratio")
+    training-data pipeline runs before dedup).
+
+    The gates are evaluated INLINE on the row (identical expressions to
+    ``text_stats``, rounding included): the previous form joined the
+    corpus back to its own ``text_stats`` projection on doc_id, which
+    at scale is a full shuffle of the document payload just to attach
+    two numbers each row can compute for itself (guide §2.4/§8: decide
+    with small values, never move the heavy rows for it — here no rows
+    need to move at all). Same rows out; the filter is pure codegen and
+    sits directly on the scan."""
+    toks = _TOKS.format(col=col)
+    stop = _sql_quote_list(LANG_STOPWORDS["en"])
+    n_tokens = F.expr(f"size({toks})")
+    ratio = F.expr(
+        f"round(size(filter({toks}, t -> t IN ({stop}))) / size({toks}), 6)")
+    return df.where(
+        (n_tokens >= min_tokens)
+        & (n_tokens <= max_tokens)
+        & (ratio >= min_stopword_ratio)
     )
 
 

@@ -90,3 +90,74 @@ def test_from_hashes_sorted_and_unsorted_agree():
 
 def test_small_build_threshold_is_sane():
     assert 0 < SMALL_BUILD_COLLECT_ROWS <= 50_000_000
+
+
+def _numpy_path_qf(cfg, seqs, value, add):
+    """Run insert_hashes with the compiled kernel force-disabled."""
+    import os
+
+    import qfspark.ckernel as ck
+
+    prev_tried, prev_lib = ck._tried, ck._lib
+    os.environ["QFSPARK_NO_CKERNEL"] = "1"
+    ck._tried, ck._lib = True, None
+    try:
+        qf = QF(cfg)
+        flags = [qf.insert_hashes(s, value=value, add=add) for s in seqs]
+        return qf, flags
+    finally:
+        del os.environ["QFSPARK_NO_CKERNEL"]
+        ck._tried, ck._lib = prev_tried, prev_lib
+
+
+def test_ckernel_matches_numpy_path_byte_identical():
+    """The compiled scalar-insert kernel (qfspark.ckernel) against the
+    pure-numpy vectorized path: identical bytes, flags and entry counts
+    across counter widths, add-mode, duplicates and growth. Skips the
+    comparison trivially when no C compiler is available (the library
+    contract is that ckernel is an accelerator only)."""
+    from qfspark.ckernel import get_kernel
+
+    if get_kernel() is None:  # pragma: no cover - toolchain-less box
+        return
+    rng = np.random.RandomState(11)
+
+    def r64(n, pool=None):
+        if pool is not None:
+            return pool[rng.randint(0, len(pool), n)]
+        return (rng.randint(0, 2 ** 63, n).astype(np.uint64)
+                * np.uint64(2)
+                + rng.randint(0, 2, n).astype(np.uint64))
+
+    for cb in (0, 4, 32, 64):
+        for trial in range(4):
+            pool = r64(3000)
+            seqs = [r64(250, pool if trial % 2 else None)
+                    for _ in range(6)]
+            add = bool(trial % 3)
+            cfg = QFConfig(counter_bits=cb, q_bits=8)  # tiny: growth
+            qa = QF(cfg)
+            fa = [qa.insert_hashes(s, value=3, add=add) for s in seqs]
+            qb, fb = _numpy_path_qf(
+                QFConfig(counter_bits=cb, q_bits=8), seqs, 3, add)
+            ab, bb = _aligned_bytes(qa, qb)
+            assert ab == bb
+            assert qa.entries == qb.entries
+            for x, y in zip(fa, fb):
+                assert (x == y).all()
+
+
+def test_ckernel_disabled_env_var():
+    """QFSPARK_NO_CKERNEL=1 pins the numpy path (get_kernel -> None)."""
+    import os
+
+    import qfspark.ckernel as ck
+
+    prev_tried, prev_lib = ck._tried, ck._lib
+    os.environ["QFSPARK_NO_CKERNEL"] = "1"
+    ck._tried = False
+    try:
+        assert ck.get_kernel() is None
+    finally:
+        del os.environ["QFSPARK_NO_CKERNEL"]
+        ck._tried, ck._lib = prev_tried, prev_lib
