@@ -30,7 +30,7 @@ from .hashing import (
 from .kernel import QF
 from .vector import PackedVector, UnpackedVector
 
-__version__ = "0.6.0"
+__version__ = "0.7.0"
 
 __all__ = [
     "QF",
