@@ -159,6 +159,92 @@ long qf_insert_batch(uint64_t *filt, uint64_t *storage,
     }
     return new_entries;
 }
+
+#include <stdlib.h>
+
+/* Exact port of qfspark.kernel.QF._bulk_fill over UNPACKED zeroed
+   slot/storage word arrays: hv is SORTED UNIQUE (quotients grouped),
+   counts aligned or NULL (NULL => storage untouched, as in the numpy
+   path). Same run-start recurrence start_j = C_j + runmax(q_j - C_j)
+   (C_j = exclusive run-length cumsum = the run's first entry index),
+   same doubled-sequence pass when the last cluster overflows the
+   table end. One sequential pass writes every slot; the numpy path's
+   ~15 full-array dispatches become zero. Returns 0, or -1 on
+   allocation failure (caller falls back to numpy). */
+long qf_bulk_fill(uint64_t *filt, uint64_t *storage, long size,
+                  int r_bits, uint64_t r_mask, uint64_t cmask,
+                  const uint64_t *hv, const uint64_t *counts, long n)
+{
+    if (n == 0)
+        return 0;
+    long mask = size - 1;
+    long m = 1;
+    for (long i = 1; i < n; i++)
+        if ((hv[i] >> r_bits) != (hv[i - 1] >> r_bits))
+            m++;
+    long *uq = malloc((size_t)m * sizeof(long));
+    long *first = malloc(((size_t)m + 1) * sizeof(long));
+    long *starts = malloc((size_t)m * sizeof(long));
+    if (!uq || !first || !starts) {
+        free(uq); free(first); free(starts);
+        return -1;
+    }
+    long j = 0;
+    uq[0] = (long)(hv[0] >> r_bits);
+    first[0] = 0;
+    for (long i = 1; i < n; i++) {
+        long q = (long)(hv[i] >> r_bits);
+        if (q != uq[j]) {
+            ++j;
+            uq[j] = q;
+            first[j] = i;
+        }
+    }
+    first[m] = n;
+
+    /* linear recurrence (C_k == first[k]) */
+    long rm = 0;
+    for (long k = 0; k < m; k++) {
+        long d = uq[k] - first[k];
+        rm = (k == 0 || d > rm) ? d : rm;
+        starts[k] = first[k] + rm;
+    }
+    /* circular wraparound: redo over the doubled sequence, exactly as
+       the numpy path does, when the last cluster overflows the end */
+    if (starts[m - 1] + (first[m] - first[m - 1]) > size) {
+        long rm2 = 0;
+        for (long k = 0; k < 2 * m; k++) {
+            long Cd = (k < m) ? first[k] : n + first[k - m];
+            long qd = (k < m) ? uq[k] : uq[k - m] + size;
+            long d = qd - Cd;
+            rm2 = (k == 0 || d > rm2) ? d : rm2;
+            if (k >= m)
+                starts[k - m] = Cd + rm2 - size;
+        }
+    }
+
+    for (long k = 0; k < m; k++) {
+        long f = first[k], e = first[k + 1];
+        long st = starts[k];
+        long home = uq[k];
+        for (long i = f; i < e; i++) {
+            long pos = (st + (i - f)) & mask;
+            uint64_t v = (hv[i] & r_mask) << 3;
+            if (i != f)
+                v |= CONT;
+            if (pos != home)
+                v |= SHIFT;
+            filt[pos] |= v;
+            if (storage && counts) {
+                uint64_t c = counts[i];
+                storage[pos] |= (c < cmask ? c : cmask);
+            }
+        }
+        filt[home] |= OCC;
+    }
+    free(uq); free(first); free(starts);
+    return 0;
+}
 """
 
 _lib = None
@@ -209,6 +295,19 @@ def _compile_and_load() -> ctypes.CDLL:
         ctypes.c_int,                     # add
         ctypes.POINTER(ctypes.c_uint8),   # present_out
     ]
+    bf = lib.qf_bulk_fill
+    bf.restype = ctypes.c_long
+    bf.argtypes = [
+        ctypes.POINTER(ctypes.c_uint64),  # filt
+        ctypes.POINTER(ctypes.c_uint64),  # storage (or NULL)
+        ctypes.c_long,                    # size
+        ctypes.c_int,                     # r_bits
+        ctypes.c_uint64,                  # r_mask
+        ctypes.c_uint64,                  # cmask
+        ctypes.POINTER(ctypes.c_uint64),  # hv (sorted unique)
+        ctypes.POINTER(ctypes.c_uint64),  # counts (or NULL)
+        ctypes.c_long,                    # n
+    ]
     return lib
 
 
@@ -254,3 +353,22 @@ def insert_batch(lib, filt_words: np.ndarray,
         present.ctypes.data_as(_U8P),
     )
     return present.view(bool), int(new)
+
+
+def bulk_fill(lib, filt_words: np.ndarray,
+              storage_words: np.ndarray | None,
+              size: int, r_bits: int, r_mask: int, cmask: int,
+              hv: np.ndarray, counts: np.ndarray | None) -> int:
+    """Drive the single-pass canonical fill through the C kernel.
+    hv must be sorted unique; returns 0 on success, -1 if the kernel
+    could not allocate (caller falls back to the numpy fill)."""
+    return int(lib.qf_bulk_fill(
+        filt_words.ctypes.data_as(_U64P),
+        storage_words.ctypes.data_as(_U64P)
+        if storage_words is not None else None,
+        size, r_bits, r_mask & 0xFFFFFFFFFFFFFFFF,
+        cmask & 0xFFFFFFFFFFFFFFFF,
+        hv.ctypes.data_as(_U64P),
+        counts.ctypes.data_as(_U64P) if counts is not None else None,
+        len(hv),
+    ))

@@ -287,6 +287,31 @@ class QF:
             return
         if n >= self.size:
             raise ValueError(f"{n} entries cannot fit a 2^{self.q_bits}-slot filter")
+        # ROUND 7: single-pass compiled fill (qfspark.ckernel) when the
+        # vectors are unpacked word arrays — same recurrence, zero numpy
+        # dispatch, one sequential pass instead of ~15 full-array ones
+        # (byte-identity pinned in tests/test_round7_fixes.py; the
+        # numpy path below is the everywhere-fallback and the twin).
+        if (isinstance(self.filter, UnpackedVector)
+                and (self.storage is None
+                     or isinstance(self.storage, UnpackedVector))):
+            from . import ckernel
+
+            clib = ckernel.get_kernel()
+            if clib is not None:
+                rc = ckernel.bulk_fill(
+                    clib, self.filter.words,
+                    self.storage.words
+                    if self.storage is not None else None,
+                    self.size, self.r_bits, int(self.r_mask),
+                    self.counter_mask,
+                    np.ascontiguousarray(hv, dtype=U64),
+                    np.ascontiguousarray(counts, dtype=U64)
+                    if counts is not None else None)
+                if rc == 0:
+                    self.entries = n
+                    self._index = None
+                    return
         r_bits = U64(self.r_bits)
         q = (hv >> r_bits).astype(np.int64)
         r = (hv & self.r_mask).astype(U64)

@@ -161,3 +161,40 @@ def test_ckernel_disabled_env_var():
     finally:
         del os.environ["QFSPARK_NO_CKERNEL"]
         ck._tried, ck._lib = prev_tried, prev_lib
+
+
+def test_ckernel_bulk_fill_matches_numpy_fill():
+    """The compiled single-pass fill against the numpy vectorized fill:
+    identical bytes across counter widths, explicit/implicit counts,
+    high loads and clusters wrapping the table end."""
+    import os
+
+    import qfspark.ckernel as ck
+
+    if ck.get_kernel() is None:  # pragma: no cover - toolchain-less box
+        return
+    rng = np.random.RandomState(17)
+    for cb in (0, 8, 64):
+        for trial in range(8):
+            q_bits = int(rng.choice([6, 8, 12]))
+            size = 1 << q_bits
+            n = int(rng.randint(1, int(size * 0.95)))
+            hv = (rng.randint(0, 2 ** 63, n).astype(np.uint64)
+                  * np.uint64(2))
+            if trial % 3 == 0:  # cluster at the table end => wraparound
+                hv |= np.uint64(0xFFF) << np.uint64(52)
+            counts = (rng.randint(1, 1000, n).astype(np.uint64)
+                      if (cb and trial % 2) else None)
+            cfg = QFConfig(counter_bits=cb, q_bits=q_bits)
+            qa = QF.from_hashes(hv, counts, cfg)
+            prev_tried, prev_lib = ck._tried, ck._lib
+            os.environ["QFSPARK_NO_CKERNEL"] = "1"
+            ck._tried, ck._lib = True, None
+            try:
+                qb = QF.from_hashes(hv, counts, cfg)
+            finally:
+                del os.environ["QFSPARK_NO_CKERNEL"]
+                ck._tried, ck._lib = prev_tried, prev_lib
+            ab, bb = _aligned_bytes(qa, qb)
+            assert ab == bb
+            assert qa.entries == qb.entries
